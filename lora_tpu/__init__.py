@@ -1,0 +1,15 @@
+"""lora_tpu — a TPU-native LoRa PHY receiver framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the complete LoRa receive
+chain with the capabilities of the gr-lora GNU Radio module (channelization,
+preamble detection, chirp sync, clock-drift correction, demodulation, gray
+decoding, deinterleaving, deshuffling, dewhitening, Hamming FEC, LoRaTap/PHY
+framing, UDP/file sinks) — re-architected for TPUs: batched array pipelines
+instead of streaming blocks, `lax` control flow instead of a threaded
+scheduler, and mesh sharding for multi-channel / multi-chip scale.
+"""
+
+__version__ = "0.1.0"
+
+from .config import LoRaConfig  # noqa: F401
+from .io.frames import Frame, PhyHeader, LoRaTapHeader  # noqa: F401

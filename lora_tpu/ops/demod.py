@@ -1,0 +1,184 @@
+"""Demodulation ops: detection metrics, symbol demod, fine sync.
+
+Array-parity implementations of the reference's per-window DSP
+(``lib/decoder_impl.cc``):
+
+- :func:`preamble_autocorr`       <- ``detect_preamble_autocorr`` (:340-366)
+- :func:`upchirp_sync_xcorr`      <- ``sliding_norm_cross_correlate_upchirp`` (:399-413)
+- :func:`downchirp_pearson`       <- ``detect_downchirp`` / ``cross_correlate_ifreq`` (:283-298,385-390)
+- :func:`max_frequency_gradient_idx` <- (:466-491), the default demod
+- :func:`fft_shift_idx`           <- ``get_shift_fft`` (:430-464), FFT demod
+- :func:`fine_sync_lag`           <- ``fine_sync`` (:300-338)
+- :func:`symbol_energy`           <- ``determine_energy`` (:368-375)
+
+Every function is batched over arbitrary leading dimensions and
+dual-backend (``xp`` in {numpy, jax.numpy}); argmax tie-breaking follows the
+reference's strict ``>`` scans (first maximum wins), which numpy/jax argmax
+also implement.
+
+Design note (TPU): the sliding correlations are expressed as matmuls over a
+stack of lagged reference rows, which XLA maps onto the MXU; the per-symbol
+loops of the reference become batched `[..., n_lags, window] @ [window]`
+contractions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .chirp import instantaneous_frequency
+
+
+def _sliding_windows(x, length: int, n_offsets: int, xp=np):
+    """Return ``[..., n_offsets, length]`` view of sliding windows of ``x``."""
+    if xp is np:
+        w = np.lib.stride_tricks.sliding_window_view(x, length, axis=-1)
+        return w[..., :n_offsets, :]
+    idx = np.arange(n_offsets)[:, None] + np.arange(length)[None, :]
+    return xp.take(x, xp.asarray(idx), axis=-1)
+
+
+def preamble_autocorr(windows, sps: int, xp=np):
+    """Normalized autocorrelation of two consecutive symbols.
+
+    ``windows``: complex ``[..., 2*sps]``. Returns ``(autocorr, energy1,
+    energy2)`` each ``[...]`` float32. ``energy1/2`` are *total* (not
+    per-sample) energies as in the reference; the implicit-mode stop
+    threshold is ``energy2 / 2`` and the SNR power-queue entry is
+    ``energy1 / sps``.
+    """
+    c1 = windows[..., :sps]
+    c2 = windows[..., sps : 2 * sps]
+    # volk conjugate dot: sum(c1 * conj(c2))
+    dot = xp.sum(c1 * xp.conj(c2), axis=-1)
+    e1 = xp.sum(xp.real(c1) ** 2 + xp.imag(c1) ** 2, axis=-1)
+    e2 = xp.sum(xp.real(c2) ** 2 + xp.imag(c2) ** 2, axis=-1)
+    autocorr = xp.abs(dot) / xp.sqrt(e1 * e2)
+    return autocorr.astype("float32"), e1.astype("float32"), e2.astype("float32")
+
+
+def symbol_energy(window, xp=np):
+    """Total |x|^2 over one symbol window (reference :368-375)."""
+    return xp.sum(xp.real(window) ** 2 + xp.imag(window) ** 2, axis=-1).astype("float32")
+
+
+def upchirp_sync_xcorr(windows2, upchirp_ifreq, sps: int, xp=np):
+    """Sliding upchirp alignment search over a 2-symbol window.
+
+    ``windows2``: complex ``[..., 2*sps]``. Returns ``(index, max_corr)``:
+    the sample offset in ``[0, sps)`` maximising the (unnormalized) ifreq
+    dot-product with the ideal upchirp over ``sps-1`` samples.
+    """
+    ifr = instantaneous_frequency(windows2, xp=xp)  # [..., 2*sps]
+    ref = upchirp_ifreq[: sps - 1]
+    w = _sliding_windows(ifr, sps - 1, sps, xp=xp)  # [..., sps, sps-1]
+    corr = w @ ref  # [..., sps]
+    idx = xp.argmax(corr, axis=-1)
+    return idx.astype("int32"), xp.max(corr, axis=-1).astype("float32")
+
+
+def downchirp_pearson(window, downchirp_ifreq, sps: int, xp=np):
+    """Normalized Pearson correlation with the ideal downchirp ifreq.
+
+    ``window``: complex ``[..., sps]``. Correlation computed over the first
+    ``sps-1`` ifreq samples exactly as reference ``cross_correlate_ifreq``
+    with ``to_idx = sps-1`` (biased stddevs, divide by sd then by to_idx).
+    """
+    n = sps - 1
+    x = instantaneous_frequency(window, xp=xp)[..., :n]
+    y = downchirp_ifreq[:n]
+    mx = xp.mean(x, axis=-1, keepdims=True)
+    my = xp.mean(y, axis=-1)
+    sx = xp.sqrt(xp.mean((x - mx) ** 2, axis=-1))
+    sy = xp.sqrt(xp.mean((y - my) ** 2, axis=-1))
+    num = xp.sum((x - mx) * (y - my), axis=-1)
+    return (num / (sx * sy) / n).astype("float32")
+
+
+def max_frequency_gradient_idx(window, n_bins: int, decim: int, xp=np):
+    """Default demod: largest negative ifreq gradient between adjacent bins.
+
+    ``window``: complex ``[..., sps]`` -> int32 bin index ``[...]``.
+
+    Parity notes (reference :466-491): gradient threshold 0.1; scan starts
+    at bin 1; the stored index is ``i+1``; result is
+    ``(N - max_index) % N`` with ``max_index = 0`` when no gradient exceeds
+    the threshold.
+    """
+    ifr = instantaneous_frequency(window, xp=xp)
+    avg = ifr[..., : n_bins * decim].reshape(ifr.shape[:-1] + (n_bins, decim)).sum(axis=-1) / decim
+    grad = avg[..., :-1] - avg[..., 1:]  # grad[i-1] = avg[i-1] - avg[i], i = 1..N-1
+    best = xp.argmax(grad, axis=-1)  # first max wins, matches strict > scan
+    found = xp.take_along_axis(grad, best[..., None], axis=-1)[..., 0] > 0.1
+    max_index = xp.where(found, best + 2, 0)  # reference stores i+1, i = best+1
+    return ((n_bins - max_index) % n_bins).astype("int32")
+
+
+def fft_shift_idx(window, downchirp, n_bins: int, sps: int, xp=np):
+    """FFT demod: dechirp, FFT, fold to ``n_bins``, argmax magnitude.
+
+    Parity with reference ``get_shift_fft`` (:430-464): the fold copies
+    ``fft[0:(N+1)//2]`` and ``fft[sps-N//2:]`` and adds ``fft[N//2]`` into
+    bin ``N//2``.
+
+    NOTE: on clean signals this returns ``gradient_idx + 1`` — the two
+    methods use different bin conventions in the reference too (the decoder
+    default is the gradient method; see module docs of ``lora_tpu.tx``).
+    """
+    mult = window * downchirp
+    f = xp.fft.fft(mult, axis=-1)
+    n_half_hi = (n_bins + 1) // 2
+    lo = f[..., :n_half_hi]
+    hi = f[..., sps - n_bins // 2 :]
+    folded = xp.concatenate([lo, hi], axis=-1)
+    # add the straddling bin (reference d_tmp[N/2] += d_fft[N/2])
+    corr = xp.zeros(folded.shape, dtype=folded.dtype)
+    if xp is np:
+        corr[..., n_bins // 2] = f[..., n_bins // 2]
+        folded = folded + corr
+    else:
+        folded = folded.at[..., n_bins // 2].add(f[..., n_bins // 2])
+    return xp.argmax(xp.abs(folded), axis=-1).astype("int32")
+
+
+def dechirp_fft_mag(windows, downchirp, n_bins: int, sps: int, xp=np):
+    """Batched dechirp FFT magnitudes ``[..., n_bins]`` (throughput path).
+
+    Same fold as :func:`fft_shift_idx` but returns the folded magnitude
+    spectrum for downstream peak detection / soft demod.
+    """
+    mult = windows * downchirp
+    f = xp.fft.fft(mult, axis=-1)
+    n_half_hi = (n_bins + 1) // 2
+    folded = xp.concatenate([f[..., :n_half_hi], f[..., sps - n_bins // 2 :]], axis=-1)
+    if xp is np:
+        folded[..., n_bins // 2] += f[..., n_bins // 2]
+    else:
+        folded = folded.at[..., n_bins // 2].add(f[..., n_bins // 2])
+    return xp.abs(folded)
+
+
+def fine_sync_lag(window, bin_idx, upchirp_ifreq_tiled, sps: int, decim: int,
+                  search_space: int, xp=np):
+    """Clock-drift lag search (reference ``fine_sync`` :300-338).
+
+    ``window``: complex ``[..., sps]``; ``bin_idx``: int ``[...]``.
+    Returns ``d_fine_sync = -lag`` (int32) where ``lag`` maximises the ifreq
+    dot-product against the 3x-tiled ideal upchirp at
+    ``shift_ref = (bin_idx+1)*decim`` over lags ``(-search_space,
+    search_space)`` (exclusive), strict ``>`` with zero init (lag stays 0
+    when all correlations are <= 0).
+    """
+    ifr = instantaneous_frequency(window, xp=xp)  # [..., sps]
+    lags = np.arange(-search_space + 1, search_space)  # static
+    # Reference row for lag l: upchirp_ifreq_tiled[shift_ref + l + sps : + sps]
+    base = (xp.asarray(bin_idx) + 1) * decim + sps  # [...]
+    offs = xp.asarray(lags[:, None] + np.arange(sps)[None, :])  # [n_lags, sps]
+    idx = base[..., None, None] + offs  # [..., n_lags, sps]
+    refs = xp.take(upchirp_ifreq_tiled, idx, axis=-1) if xp is np else xp.take(
+        upchirp_ifreq_tiled, idx)
+    corr = xp.einsum("...s,...ls->...l", ifr, refs)  # [..., n_lags]
+    best = xp.argmax(corr, axis=-1)
+    pos = xp.take_along_axis(corr, best[..., None], axis=-1)[..., 0] > 0.0
+    lag = xp.where(pos, xp.asarray(lags)[best], 0)
+    return (-lag).astype("int32")

@@ -1,0 +1,55 @@
+"""Frame format / header tests against reference-known byte patterns."""
+
+from lora_tpu.io.frames import (
+    Frame,
+    LoRaTapHeader,
+    LORAMAC,
+    LORAPHY,
+    LORATAP,
+    LORATAP_HEADER_SIZE,
+    PhyHeader,
+    header_checksum_nibbles,
+    snr_to_loratap,
+)
+
+
+def test_phy_header_demo_trace_bytes():
+    # reference README.md:81-86 demo frame header: 04 90 40
+    hdr = PhyHeader.from_bytes(b"\x04\x90\x40")
+    assert hdr.length == 4
+    assert hdr.cr == 4
+    assert hdr.has_mac_crc == 1
+    assert hdr.crc_msn == 0
+    assert hdr.crc_lsn == 0
+    assert hdr.reserved == 4
+    assert hdr.to_bytes() == b"\x04\x90\x40"
+
+
+def test_header_checksum_matches_demo_trace():
+    # The checksum nibbles for (len=4, cr=4, crc=1) must reproduce the
+    # demo trace bytes (msn in crc_msn, lsn in the reserved field slot).
+    assert header_checksum_nibbles(4, 4, True) == (0, 4)
+
+
+def test_loratap_roundtrip():
+    tap = LoRaTapHeader(snr=12, sf=7, frequency=868100000)
+    assert len(tap.to_bytes()) == LORATAP_HEADER_SIZE
+    back = LoRaTapHeader.from_bytes(tap.to_bytes())
+    assert back == tap
+
+
+def test_layer_stripping():
+    # reference message_socket_sink_impl.cc:97-116
+    phy = PhyHeader(length=4, cr=4, has_mac_crc=1)
+    f = Frame(phy_header=phy, payload=b"\xde\xad\xbe\xef\x70\x0d", snr=10.0)
+    tap = f.to_bytes(LORATAP)
+    assert len(tap) == 15 + 3 + 6
+    assert f.to_bytes(LORAPHY) == tap[15:]
+    assert f.to_bytes(LORAMAC) == b"\xde\xad\xbe\xef"  # strips phy hdr + CRC
+
+
+def test_snr_encoding():
+    # reference lib/decoder_impl.cc:597
+    assert snr_to_loratap(10.0) == 10  # 10*log10(10)+0.5 = 10.5 -> 10
+    assert snr_to_loratap(100.0) == 20
+    assert snr_to_loratap(0.0) == 0

@@ -1,0 +1,90 @@
+"""Unit tests for the integer/bit ops against hand-derived golden vectors."""
+
+import numpy as np
+import pytest
+
+from lora_tpu.ops import bits
+from lora_tpu.ops.hamming import (
+    HAMMING84_ENCODE_LUT,
+    hamming84_decode,
+    hamming84_encode,
+)
+from lora_tpu.tables import PRNG_PAYLOAD_CR56, PRNG_PAYLOAD_CR78, SHUFFLE_PATTERN
+from lora_tpu.tx.modulator import deinterleave_block, interleave_block
+
+
+def test_hamming84_matches_liquid_gentab():
+    # liquid-dsp hamming84_enc_gentab, the codec the reference links
+    # (lib/decoder_impl.cc:116-117)
+    expected = [0x00, 0xD2, 0x55, 0x87, 0x99, 0x4B, 0xCC, 0x1E,
+                0xE1, 0x33, 0xB4, 0x66, 0x78, 0xAA, 0x2D, 0xFF]
+    assert list(HAMMING84_ENCODE_LUT) == expected
+
+
+def test_hamming84_roundtrip_and_single_error_correction():
+    for v in range(16):
+        c = int(hamming84_encode(np.array([v], dtype=np.uint8))[0])
+        assert int(hamming84_decode(np.array([c], dtype=np.uint8))[0]) == v
+        for b in range(8):
+            flipped = np.array([c ^ (1 << b)], dtype=np.uint8)
+            assert int(hamming84_decode(flipped)[0]) == v
+
+
+def test_whitening_tables_are_hamming_codewords():
+    # The payload whitening sequences were recovered over-the-air from
+    # whitened codeword streams, so their bytes are Hamming(8,4) codewords —
+    # except index 359 (0xc7), a single-bit capture artefact in the
+    # reference's own table (lib/tables.h:43) kept verbatim for parity.
+    cw = set(int(x) for x in HAMMING84_ENCODE_LUT)
+    outliers = [(i, v) for i, v in enumerate(PRNG_PAYLOAD_CR78) if v not in cw]
+    assert outliers == [(359, 0xC7)]
+
+
+def test_gray_roundtrip():
+    for nbits in (5, 6, 7, 8, 11, 13):
+        x = np.arange(1 << nbits, dtype=np.uint16)
+        assert np.all(bits.gray_decode(bits.gray_encode(x), nbits) == x)
+
+
+def test_gray_encode_reference_formula():
+    x = np.arange(256, dtype=np.uint16)
+    assert np.all(bits.gray_encode(x) == (x ^ (x >> 1)))
+
+
+def test_shuffle_roundtrip_and_pattern():
+    x = np.arange(256, dtype=np.uint8)
+    assert np.all(bits.deshuffle(bits.shuffle(x)) == x)
+    # spot-check pattern semantics: out bit j = in bit pattern[j]
+    v = np.array([0b00100000], dtype=np.uint8)  # only bit 5 set
+    assert bits.deshuffle(v)[0] == 1  # pattern[0] == 5
+
+
+def test_rotl_rotr_roundtrip():
+    for size in (5, 6, 7, 8, 11):
+        x = np.arange(1 << size, dtype=np.uint16)
+        for count in range(size):
+            assert np.all(bits.rotr(bits.rotl(x, count, size), count, size) == x)
+
+
+def test_interleave_roundtrip():
+    rng = np.random.default_rng(0)
+    for ppm in (5, 6, 7, 10, 12):
+        for n_words in (5, 6, 7, 8):
+            rows = rng.integers(0, 1 << n_words, size=ppm).astype(np.uint8)
+            words = interleave_block(rows, ppm, n_words)
+            back = deinterleave_block(words, ppm)
+            assert np.all(back == rows), (ppm, n_words)
+
+
+def test_swap_nibbles():
+    assert bits.swap_nibbles(np.array([0xAB], dtype=np.uint8))[0] == 0xBA
+
+
+def test_nibble_packing():
+    n = np.array([0xA, 0xB, 0xC, 0xD], dtype=np.uint8)
+    hi = bits.pack_nibbles_to_bytes(n, high_first=True)
+    lo = bits.pack_nibbles_to_bytes(n, high_first=False)
+    assert list(hi) == [0xAB, 0xCD]
+    assert list(lo) == [0xBA, 0xDC]
+    assert np.all(bits.unpack_bytes_to_nibbles(hi, high_first=True) == n)
+    assert np.all(bits.unpack_bytes_to_nibbles(lo, high_first=False) == n)
