@@ -1,0 +1,149 @@
+"""Command-line tools.
+
+- ``lora-decode-file``  — parity with ``apps/lora_receive_file_nogui.py``:
+  decode a raw cf32/SigMF capture, print frames as hex, optionally forward
+  over UDP.
+- ``lora-testsuite``    — parity with ``python/qa_testsuite.py``: run SigMF
+  suites, write Markdown accuracy reports.
+- ``lora-gen-suite``    — hermetic analogue of
+  ``apps/generate_test_suites.py``: synthesise suites with the modulator.
+- ``lora-bench``        — per-kernel + end-to-end benchmarks.
+
+Run via ``python -m lora_tpu.cli <command> ...``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+
+def cmd_decode_file(args) -> int:
+    from .config import LoRaConfig
+    from .receiver import LoRaReceiver
+    from .io.udp import MessageSocketSink
+    from .io.sigmf import read_trace
+
+    if args.file.endswith(".sigmf-meta"):
+        trace = read_trace(args.file)
+        samples = trace.samples
+        samp_rate = trace.sample_rate
+        cfg = trace.lora_config
+        sf, cr, implicit, crc, reduced = (
+            cfg.sf, cfg.cr, cfg.implicit, cfg.crc, cfg.reduced_rate,
+        )
+        center = trace.capture_freq
+        channels = [trace.capture_freq + trace.frequency_offset]
+    else:
+        samples = np.fromfile(args.file, dtype=np.complex64)
+        samp_rate = args.samp_rate
+        sf, cr, implicit, crc = args.sf, args.cr, args.implicit, args.crc
+        reduced = args.reduced_rate
+        center = args.center_freq
+        channels = [args.center_freq + args.offset]
+
+    rx = LoRaReceiver(
+        samp_rate=samp_rate, center_freq=center, channel_list=channels,
+        bandwidth=args.bandwidth, sf=sf, implicit=implicit, cr=cr, crc=crc,
+        reduced_rate=reduced, conj=args.conj, decimation=args.decimation,
+        disable_drift_correction=args.no_drift_correction, engine=args.engine,
+    )
+    frames = rx.receive(samples)
+    sink = MessageSocketSink(args.udp_ip, args.udp_port, args.layer) if args.udp else None
+    for f in frames:
+        data = f.to_bytes(1)  # LORAPHY layer, like the demo's printout
+        print(" ".join(f"{b:02x}" for b in data))
+        if sink:
+            sink.handle(f)
+    print(f"decoded {len(frames)} frames", file=sys.stderr)
+    return 0
+
+
+def cmd_testsuite(args) -> int:
+    from .testsuite import run_suite
+
+    results = run_suite(
+        args.path, args.suites, reports_path=args.reports,
+        engine=args.engine, write_output=not args.nowrite,
+    )
+    return 0 if all(v >= args.min_accuracy for v in results.values()) else 1
+
+
+def cmd_gen_suite(args) -> int:
+    from .testsuite import generate_suite
+
+    path = generate_suite(
+        args.out, args.suite,
+        sfs=tuple(args.sfs), crs=tuple(args.crs),
+        samp_rate=args.samp_rate, snr_db=args.snr, cfo_hz=args.cfo,
+        seed=args.seed,
+    )
+    print(path)
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench  # repo-root bench entry
+
+    sys.argv = ["bench.py"] + ([str(args.channels)] if args.channels else [])
+    bench.main()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="lora_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    d = sub.add_parser("decode-file", help="decode a capture file")
+    d.add_argument("file")
+    d.add_argument("--samp-rate", type=float, default=1e6)
+    d.add_argument("--bandwidth", type=float, default=125e3)
+    d.add_argument("--center-freq", type=float, default=868.1e6)
+    d.add_argument("--offset", type=float, default=0.0)
+    d.add_argument("--sf", type=int, default=7)
+    d.add_argument("--cr", type=int, default=4)
+    d.add_argument("--implicit", action="store_true")
+    d.add_argument("--crc", action="store_true", default=True)
+    d.add_argument("--reduced-rate", action="store_true")
+    d.add_argument("--conj", action="store_true")
+    d.add_argument("--decimation", type=int, default=1)
+    d.add_argument("--no-drift-correction", action="store_true")
+    d.add_argument("--engine", default="golden", choices=["golden", "parity", "dense"])
+    d.add_argument("--udp", action="store_true")
+    d.add_argument("--udp-ip", default="127.0.0.1")
+    d.add_argument("--udp-port", type=int, default=40868)
+    d.add_argument("--layer", type=int, default=2)
+    d.set_defaults(fn=cmd_decode_file)
+
+    t = sub.add_parser("testsuite", help="run SigMF test suites")
+    t.add_argument("path")
+    t.add_argument("suites", nargs="*")
+    t.add_argument("--reports", default=None)
+    t.add_argument("--engine", default="golden", choices=["golden", "parity", "dense"])
+    t.add_argument("--nowrite", action="store_true")
+    t.add_argument("--min-accuracy", type=float, default=0.0)
+    t.set_defaults(fn=cmd_testsuite)
+
+    g = sub.add_parser("gen-suite", help="generate a hermetic SigMF suite")
+    g.add_argument("out")
+    g.add_argument("--suite", default="short_sim")
+    g.add_argument("--sfs", type=int, nargs="+", default=[7, 8, 9, 10, 11, 12])
+    g.add_argument("--crs", type=int, nargs="+", default=[4, 3, 2, 1])
+    g.add_argument("--samp-rate", type=float, default=1e6)
+    g.add_argument("--snr", type=float, default=40.0)
+    g.add_argument("--cfo", type=float, default=0.0)
+    g.add_argument("--seed", type=int, default=0)
+    g.set_defaults(fn=cmd_gen_suite)
+
+    b = sub.add_parser("bench", help="run the throughput benchmark")
+    b.add_argument("--channels", type=int, default=None)
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

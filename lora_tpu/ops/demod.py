@@ -53,7 +53,10 @@ def preamble_autocorr(windows, sps: int, xp=np):
     dot = xp.sum(c1 * xp.conj(c2), axis=-1)
     e1 = xp.sum(xp.real(c1) ** 2 + xp.imag(c1) ** 2, axis=-1)
     e2 = xp.sum(xp.real(c2) ** 2 + xp.imag(c2) ** 2, axis=-1)
-    autocorr = xp.abs(dot) / xp.sqrt(e1 * e2)
+    denom = xp.sqrt(e1 * e2)
+    # zero-energy windows: the reference divides 0/0 -> NaN, which fails
+    # its >= 0.90 test; an explicit 0 is behaviourally identical
+    autocorr = xp.where(denom > 0, xp.abs(dot) / xp.where(denom > 0, denom, 1.0), 0.0)
     return autocorr.astype("float32"), e1.astype("float32"), e2.astype("float32")
 
 

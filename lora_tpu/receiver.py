@@ -1,0 +1,150 @@
+"""User-facing receiver facade.
+
+Mirrors the reference hier block ``lora.lora_receiver``
+(python/lora_receiver.py:30): channelization (optional) -> conjugate
+(optional, downlink) -> decoder, with the decoder's CFO ``control``
+feedback applied to the channelizer mixer (the reference wires this via
+controller_impl; the publisher is disabled there — lib/decoder_impl.cc:774
+— so ``apply_cfo`` is exposed for explicit use, matching
+``channelizer_impl::apply_cfo`` :68-71).
+
+Engines:
+
+- ``"golden"`` — numpy sequential reference-parity model
+- ``"parity"`` — jitted state machine (TPU), bit-parity with golden
+- ``"dense"``  — batched two-phase throughput pipeline (TPU)
+
+Unlike the reference (which channelizes only ``channel_list[0]``,
+lib/channelizer_impl.cc:47), every listed channel is extracted and decoded.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .config import LoRaConfig
+from .channelizer import lora_channel_taps, freq_xlating_fir, channelize_list
+from .io.frames import Frame
+
+
+class LoRaReceiver:
+    def __init__(
+        self,
+        samp_rate: float,
+        center_freq: float,
+        channel_list: Sequence[float],
+        bandwidth: float,
+        sf: int,
+        implicit: bool = False,
+        cr: int = 4,
+        crc: bool = True,
+        reduced_rate: bool = False,
+        conj: bool = False,
+        decimation: int = 1,
+        disable_channelization: bool = False,
+        disable_drift_correction: bool = False,
+        engine: str = "golden",
+        **engine_kwargs,
+    ):
+        self.samp_rate = samp_rate
+        self.center_freq = center_freq
+        self.channel_list = list(channel_list) if channel_list else [center_freq]
+        self.bandwidth = bandwidth
+        self.decimation = max(1, int(decimation))
+        self.disable_channelization = disable_channelization
+        self.engine = engine
+        self._cfo = 0.0
+
+        self.config = LoRaConfig(
+            sf=sf,
+            cr=cr,
+            bandwidth=bandwidth,
+            samp_rate=samp_rate / self.decimation,
+            implicit=implicit,
+            crc=crc,
+            reduced_rate=reduced_rate,
+            conj=conj,
+            disable_drift_correction=disable_drift_correction,
+        )
+        self._taps = lora_channel_taps(samp_rate, bandwidth)
+        self._decoders = None
+        self._engine_kwargs = engine_kwargs
+
+    # ---- control plane (reference controller/channelizer feedback) ----
+
+    def apply_cfo(self, cfo: float) -> None:
+        """Accumulate a CFO correction into the channelizer mixer
+        (reference channelizer_impl.cc:68-71)."""
+        self._cfo += cfo
+
+    # ---- decode -------------------------------------------------------
+
+    def _make_decoder(self):
+        if self.engine == "golden":
+            from .rx.golden import GoldenReceiver
+
+            return GoldenReceiver(self.config)
+        if self.engine == "parity":
+            from .rx.receiver import JaxReceiver
+
+            return JaxReceiver(self.config, **self._engine_kwargs)
+        if self.engine == "dense":
+            from .rx.dense import DenseReceiver
+
+            return DenseReceiver(self.config, **self._engine_kwargs)
+        raise ValueError(f"unknown engine {self.engine!r}")
+
+    def receive(self, samples: np.ndarray) -> List[Frame]:
+        """Channelize + decode one capture; returns all decoded frames
+        (frame.channel = index into channel_list)."""
+        samples = np.asarray(samples, dtype=np.complex64)
+        if self._decoders is None:
+            self._decoders = self._make_decoder()
+        dec = self._decoders
+
+        if self.disable_channelization:
+            # reference: fractional resampler path (python/lora_receiver.py:59-62);
+            # for integer decimation plain stride decimation suffices
+            streams = [samples[:: self.decimation]]
+        else:
+            offsets = [f - self.center_freq + self._cfo for f in self.channel_list]
+            if len(offsets) == 1:
+                streams = [
+                    freq_xlating_fir(samples, self._taps, offsets[0],
+                                     self.samp_rate, self.decimation)
+                ]
+            else:
+                streams = np.asarray(
+                    channelize_list(samples, self._taps, offsets,
+                                    self.samp_rate, self.decimation)
+                )
+
+        frames: List[Frame] = []
+        if self.engine == "dense" and len(streams) > 1:
+            frames = dec.run(np.stack([np.asarray(s) for s in streams]))
+        else:
+            for ci, s in enumerate(streams):
+                for f in dec.run(np.asarray(s)):
+                    f.channel = ci
+                    frames.append(f)
+        return frames
+
+    # ---- reference API surface (python/lora_receiver.py:80-97) --------
+
+    def get_sf(self) -> int:
+        return self.config.sf
+
+    def set_sf(self, sf: int) -> None:
+        # runtime SF changes are unsupported in the reference too
+        # (lib/decoder_impl.cc:905-909)
+        import warnings
+
+        warnings.warn("setting the spreading factor during execution is not supported")
+
+    def get_center_freq(self) -> float:
+        return self.center_freq
+
+    def set_center_freq(self, center_freq: float) -> None:
+        self.center_freq = center_freq

@@ -1,0 +1,285 @@
+"""Dense two-phase receiver — the TPU throughput path.
+
+Replaces the reference's sequential window-by-window state machine with the
+SIMD-natural decomposition (SURVEY.md §7 architecture sketch):
+
+Phase A (dense, batched): preamble metrics for ALL symbol-stride windows of
+a block at once (:mod:`lora_tpu.rx.frontend`), then fixed-capacity
+rising-edge candidate extraction. O(1) work/sample, no transcendentals,
+HBM-bandwidth bound.
+
+Phase B (per candidate, vmapped): chirp-align (SYNC), SFD search, then a
+``lax.scan`` over symbol windows carrying the fine-sync drift state — the
+inherently sequential part of LoRa demod stays inside a per-packet scan
+while packets and channels are the parallel axes.
+
+Demod methods:
+
+- ``gradient`` (default): reference-parity ifreq-gradient demod incl.
+  fine-sync drift correction (lib/decoder_impl.cc:466-491,300-338).
+- ``fft``: dechirp-multiply + FFT argmax (lib/decoder_impl.cc:430-464) —
+  no transcendentals, MXU/FFT-friendly; bin convention shifted by +1 vs the
+  gradient method (compensated here), no drift correction.
+
+Scope notes: explicit-header packets (implicit mode's energy-stop needs the
+running threshold of the sequential receiver — use
+:class:`lora_tpu.rx.receiver.JaxReceiver` for implicit parity decode).
+Packets starting within the last ``max_packet_samples`` of a block need the
+following (overlapping) block — halo handling lives in
+:mod:`lora_tpu.parallel`.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LoRaConfig, MAC_CRC_SIZE
+from ..io.frames import Frame, PhyHeader
+from ..ops import bits, decode as dec, demod
+from ..ops.chirp import build_ideal_chirps, instantaneous_frequency, tiled_upchirp_ifreq
+from .frontend import detection_metrics, candidate_starts
+
+MAX_PAYLOAD = 260
+
+
+class DenseResult(NamedTuple):
+    """Struct-of-arrays decode result for a block: ``[..., P]`` leading dims."""
+
+    valid: jnp.ndarray        # bool[..., P] frame decoded
+    payload: jnp.ndarray      # uint8[..., P, MAX_PAYLOAD]
+    length: jnp.ndarray       # int32[..., P] payload bytes incl. CRC
+    hdr: jnp.ndarray          # uint8[..., P, 3] phy header bytes
+    snr: jnp.ndarray          # f32[..., P]
+    start: jnp.ndarray        # int32[..., P] packet start sample in block
+
+
+class DenseReceiver:
+    """Block-based multi-packet receiver for one static config.
+
+    ``max_symbols`` bounds the demodulated payload symbols per packet
+    (header block's 8 symbols are separate); size it for the longest
+    expected packet: ``8 + payload_symbol_count(max_payload)``.
+    """
+
+    def __init__(
+        self,
+        config: LoRaConfig,
+        max_candidates: int = 8,
+        max_symbols: int = 48,
+        sfd_search: int = 12,
+        demod_method: str = "gradient",
+    ):
+        if config.implicit:
+            raise ValueError("dense mode requires explicit headers")
+        self.cfg = config
+        self.P = max_candidates
+        self.S = max_symbols
+        self.F = sfd_search
+        self.method = demod_method
+        self.sps = config.samples_per_symbol
+        self.n_bins = config.number_of_bins
+        self.decim = config.decim_factor
+
+        up, down = build_ideal_chirps(config)
+        self._down = down
+        self._up_ifreq = instantaneous_frequency(up)
+        self._down_ifreq = instantaneous_frequency(down)
+        self._up_ifreq_v = tiled_upchirp_ifreq(config)
+
+        # per-packet region: sync(2) + sfd_search + 2.25 + 8 hdr + S payload
+        self.pkt_samples = (self.F + 13 + self.S) * self.sps
+        self.process_fn = self._build()   # un-jitted (for shard_map wrapping)
+        self._process = jax.jit(self.process_fn)
+
+    # ------------------------------------------------------------------
+    def _demod_symbol(self, window):
+        """One-symbol demod: returns (bin_idx, fine_sync)."""
+        cfg = self.cfg
+        if self.method == "fft":
+            b = demod.fft_shift_idx(window, self._down, self.n_bins, self.sps, xp=jnp)
+            # fft convention reads shift s as s; gradient (the chain's
+            # native convention) reads it as s-1 — compensate.
+            return (b - 1) % self.n_bins, jnp.int32(0)
+        b = demod.max_frequency_gradient_idx(window, self.n_bins, self.decim, xp=jnp)
+        if cfg.disable_drift_correction:
+            return b, jnp.int32(0)
+        fine = demod.fine_sync_lag(
+            window, b, self._up_ifreq_v, self.sps, self.decim,
+            max(self.decim // 4, 2), xp=jnp,
+        )
+        return b, fine
+
+    def _decode_candidate(self, region):
+        """Phase B for one packet region ``[pkt_samples]`` complex64."""
+        cfg = self.cfg
+        sps = self.sps
+
+        # --- SYNC: align to upchirp start (reference :770-783) ---
+        i0, _ = demod.upchirp_sync_xcorr(region[: 2 * sps], self._up_ifreq, sps, xp=jnp)
+
+        # --- FIND_SFD walk (reference :785-818) ---
+        def sfd_step(carry, k):
+            p, fails, found, p_found = carry
+            w = jax.lax.dynamic_slice(region, (p,), (sps,))
+            c = demod.downchirp_pearson(w, self._down_ifreq, sps, xp=jnp)
+            hit = (c > 0.96) & (~found)
+            is_up = c < -0.97
+            fine = jnp.where(
+                is_up & (~found) & (~hit),
+                demod.fine_sync_lag(w, jnp.int32(-1), self._up_ifreq_v,
+                                    sps, self.decim, self.decim * 4, xp=jnp),
+                0,
+            )
+            fails = jnp.where(found | hit | is_up, fails, fails + 1)
+            p_found = jnp.where(hit, p, p_found)
+            found = found | hit
+            p = jnp.where(found, p, p + sps + fine)
+            return (p, fails, found, p_found), None
+
+        init = (i0.astype(jnp.int32), jnp.int32(0), jnp.bool_(False), jnp.int32(0))
+        (p, fails, found, p_found), _ = jax.lax.scan(
+            sfd_step, init, jnp.arange(self.F)
+        )
+        sfd_ok = found & (fails <= 4)
+        # data starts 2.25 symbols after SFD start (FIND_SFD consume +
+        # PAUSE consume, reference :816,:822)
+        p_data = p_found + sps + sps + cfg.delay_after_sync
+
+        # --- demod scan: 8 header symbols + S payload symbols ---
+        def dm_step(carry, k):
+            p = carry
+            w = jax.lax.dynamic_slice(region, (jnp.minimum(p, self.pkt_samples - sps),), (sps,))
+            is_hdr = k < 8
+            b_full, fine = self._demod_symbol(w)
+            reduced = is_hdr if not cfg.reduced_rate else jnp.bool_(True)
+            b_red = jnp.floor(b_full / 4.0 + 0.5).astype(jnp.int32) % cfg.number_of_bins_hdr
+            b = jnp.where(reduced, b_red, b_full)
+            word = b ^ (b >> 1)
+            return p + sps + fine, word
+
+        _, words = jax.lax.scan(
+            dm_step, p_data.astype(jnp.int32), jnp.arange(8 + self.S)
+        )  # [8+S]
+
+        # --- header decode ---
+        ppm_hdr = cfg.sf - 2
+        hdr_rows = dec.deinterleave_words(
+            words[:8].astype(jnp.int32), jnp.int32(8), ppm_hdr, xp=jnp
+        )
+        hdr_bytes = dec.decode_header(hdr_rows[:5], xp=jnp)
+        length, cr, has_crc = dec.parse_header(hdr_bytes, xp=jnp)
+        paylen = length + MAC_CRC_SIZE * has_crc
+        budget = dec.payload_symbol_budget(paylen, cr, cfg.sf, cfg.reduced_rate, xp=jnp)
+        hdr_ok = (budget <= self.S) & (cr >= 1) & (paylen <= MAX_PAYLOAD)
+
+        # --- payload deinterleave for each possible cr (static variants) ---
+        ppm_pay = cfg.sf - 2 if cfg.reduced_rate else cfg.sf
+        CW = ppm_hdr - 5 + (self.S // 5) * ppm_pay  # capacity
+        pay_words = words[8:].astype(jnp.int32)
+
+        def rows_for_cr(crv: int):
+            b = 4 + crv
+            nblocks = self.S // b
+            w = pay_words[: nblocks * b].reshape(nblocks, b)
+            rows = dec.deinterleave_words(w, jnp.int32(b), ppm_pay, xp=jnp)
+            flat = rows.reshape(-1)
+            return jnp.pad(flat, (0, CW - flat.shape[0]))
+
+        pay_cw_by_cr = jnp.stack([rows_for_cr(v) for v in (1, 2, 3, 4)])
+        pay_cw = pay_cw_by_cr[jnp.clip(cr - 1, 0, 3)]
+        # prepend the payload codewords carried in the header block
+        head_extra = hdr_rows[5:]  # [ppm_hdr - 5]
+        codewords = jnp.concatenate([head_extra, pay_cw])[:CW]
+        n_blocks = budget // jnp.maximum(cr + 4, 1)
+        n_cw = (ppm_hdr - 5) + n_blocks * ppm_pay
+
+        decoded = dec.decode_payload(codewords, n_cw, cr, xp=jnp)
+        pay = jnp.zeros(MAX_PAYLOAD, jnp.uint8)
+        m = min(MAX_PAYLOAD, decoded.shape[-1])
+        pay = pay.at[:m].set(
+            jnp.where(jnp.arange(m) < paylen, decoded[:m], 0).astype(jnp.uint8)
+        )
+
+        return (
+            sfd_ok & hdr_ok,
+            pay,
+            paylen.astype(jnp.int32),
+            hdr_bytes.astype(jnp.uint8),
+        )
+
+    # ------------------------------------------------------------------
+    def _build(self):
+        sps = self.sps
+
+        def process(x):
+            """``x``: complex64 ``[..., L]`` -> DenseResult."""
+            if self.cfg.conj:
+                x = jnp.conj(x)
+            corr, e1, e2 = detection_metrics(x, sps)
+            starts, s_valid = candidate_starts(corr, 0.90, self.P)  # [..., P]
+            # SNR estimate: packet energy / noise-floor proxy (min window energy)
+            noise = jnp.min(e1, axis=-1, keepdims=True)
+            sig = jnp.take_along_axis(e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1)
+            snr = sig / jnp.maximum(noise, 1e-30)
+
+            pad = jnp.zeros(x.shape[:-1] + (self.pkt_samples,), x.dtype)
+            xp_ = jnp.concatenate([x, pad], axis=-1)
+
+            def per_candidate(stream, start_win):
+                region = jax.lax.dynamic_slice_in_dim(
+                    stream, start_win * sps, self.pkt_samples, axis=-1
+                )
+                return self._decode_candidate(region)
+
+            fn = per_candidate
+            # vmap over candidates, then over any leading stream dims
+            fn = jax.vmap(fn, in_axes=(None, 0))
+            for _ in range(x.ndim - 1):
+                fn = jax.vmap(fn, in_axes=(0, 0))
+            ok, pay, plen, hdr = fn(xp_, starts)
+            return DenseResult(
+                valid=ok & s_valid,
+                payload=pay,
+                length=plen,
+                hdr=hdr,
+                snr=snr.astype(jnp.float32),
+                start=starts * sps,
+            )
+
+        return process
+
+    # ------------------------------------------------------------------
+    def process(self, x) -> DenseResult:
+        if not isinstance(x, jax.Array):  # avoid device->host roundtrips
+            x = jnp.asarray(np.asarray(x, dtype=np.complex64))
+        return self._process(x)
+
+    def run(self, x, channel_offset: int = 0) -> List[Frame]:
+        """Decode a block (1-D or [C, L]) into host Frame objects."""
+        res = jax.device_get(self.process(x))
+        frames: List[Frame] = []
+        valid = np.atleast_2d(res.valid)
+        pay = res.payload.reshape(valid.shape + (MAX_PAYLOAD,))
+        plen = res.length.reshape(valid.shape)
+        hdr = res.hdr.reshape(valid.shape + (3,))
+        snr = res.snr.reshape(valid.shape)
+        start = res.start.reshape(valid.shape)
+        for c in range(valid.shape[0]):
+            for k in range(valid.shape[1]):
+                if not valid[c, k]:
+                    continue
+                frames.append(
+                    Frame(
+                        phy_header=PhyHeader.from_bytes(bytes(hdr[c, k])),
+                        payload=bytes(pay[c, k][: plen[c, k]]),
+                        snr=float(snr[c, k]),
+                        channel=c + channel_offset,
+                        sample_index=int(start[c, k]),
+                    )
+                )
+        return frames

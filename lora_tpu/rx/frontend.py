@@ -1,0 +1,58 @@
+"""Dense detection frontend: preamble metrics for ALL windows at once.
+
+The reference evaluates ``detect_preamble_autocorr`` one window at a time
+inside its DETECT state (lib/decoder_impl.cc:752-768). On TPU the same
+metric is computed for every symbol-stride window of a block in one fused
+batched pass: elementwise lag products + segmented box sums — O(1) work per
+sample, HBM-bandwidth bound, which is what makes Gsample/s detection
+possible.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def detection_metrics(x, sps: int):
+    """Per-window preamble autocorrelation at symbol stride.
+
+    ``x``: complex ``[..., L]``. Windows start at ``k*sps`` for
+    ``k = 0 .. K-1`` with ``K = L//sps - 1`` (each window needs ``2*sps``
+    samples, mirroring the reference's ``set_output_multiple``).
+
+    Returns ``(corr, energy1, energy2)`` each ``[..., K]``, exactly the
+    quantities of ``detect_preamble_autocorr`` (:340-366): normalized
+    |conj-dot| of the two symbol halves and their total energies.
+    """
+    L = x.shape[-1]
+    K = L // sps - 1
+    lead = x[..., : (K + 1) * sps]
+    lag_prod = lead[..., : K * sps] * jnp.conj(lead[..., sps:])
+    mag2 = jnp.real(lead) ** 2 + jnp.imag(lead) ** 2
+
+    dots = jnp.sum(lag_prod.reshape(lag_prod.shape[:-1] + (K, sps)), axis=-1)
+    eners = jnp.sum(mag2.reshape(mag2.shape[:-1] + (K + 1, sps)), axis=-1)
+    e1 = eners[..., :K]
+    e2 = eners[..., 1:]
+    denom = jnp.sqrt(e1 * e2)
+    corr = jnp.where(denom > 0, jnp.abs(dots) / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return corr.astype(jnp.float32), e1.astype(jnp.float32), e2.astype(jnp.float32)
+
+
+def candidate_starts(corr, threshold: float, max_candidates: int):
+    """Rising-edge packet-start candidates from the dense metric.
+
+    A candidate is the first window of a run of ``corr >= threshold``
+    (the dense analogue of DETECT firing then handing off to SYNC). Returns
+    ``(starts, valid)``: ``[..., max_candidates]`` window indices (first
+    ``max_candidates`` per stream, int32) and a validity mask.
+    """
+    hit = corr >= threshold
+    prev = jnp.pad(hit[..., :-1], [(0, 0)] * (hit.ndim - 1) + [(1, 0)])
+    rising = hit & ~prev
+    K = corr.shape[-1]
+    idx = jnp.where(rising, jnp.arange(K), K)
+    starts = jnp.sort(idx, axis=-1)[..., :max_candidates]
+    valid = starts < K
+    return starts.astype(jnp.int32), valid

@@ -1,0 +1,212 @@
+"""SigMF test-suite generation and evaluation.
+
+Hermetic replacement for the reference's over-the-air suite flow:
+
+- :func:`generate_suite` — the offline analogue of
+  ``apps/generate_test_suites.py``: synthesises SigMF traces with the tx
+  modulator instead of driving an RN2483, using the same suite shapes
+  (``short``: SF x CR x payloads {deadbeef x5, 88 x1, ffff x10};
+  ``decode_long``: 255-byte payload at CR 4/8 — :157-200).
+- :class:`TestSummary` / :func:`run_suite` — the evaluation harness of
+  ``python/qa_testsuite.py``: per-trace flowgraph build, exact hex compare
+  of MAC payloads, text + Markdown accuracy reports.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from dataclasses import dataclass
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .config import LoRaConfig
+from .io.sigmf import SigMFTrace, list_suite, read_trace, write_trace
+from .receiver import LoRaReceiver
+from .tx.modulator import modulate_frame
+
+
+def trunc(target: str, max_len: int = 30) -> str:
+    if len(target) > max_len:
+        return target[: max_len // 2 - 1] + ".." + target[-(max_len // 2) + 1 :]
+    return target
+
+
+class TestSummary:
+    """Accuracy accounting + Markdown report (qa_testsuite.py:38-148)."""
+
+    def __init__(self, suite: str):
+        self.suite = suite
+        now = datetime.datetime.now(datetime.timezone.utc)
+        self.text = (
+            f"-------- Test suite '{suite}' results on {now} ---------\n"
+        )
+        self.markdown = f"# Test suite: '{suite}'\n\n*Results on {now}*\n"
+        self.total_correct = 0
+        self.total = 0
+        self.num_tests = 0
+        self._last_config: Optional[str] = None
+
+    def add(self, decoded: List[str], expected_payload: str, times: int,
+            config_repr: str, print_intermediate: bool = True):
+        self.num_tests += 1
+        if self._last_config != config_repr:
+            self.text += f"{config_repr}:\n"
+            self.markdown += (
+                f"\n### {config_repr}\n\nTransmitted payload | :heavy_check_mark: "
+                "| :hash: | :heavy_division_sign:\n--- | --- | --- | ---\n"
+            )
+            self._last_config = config_repr
+        correct = 0
+        for i in range(times):
+            self.total += 1
+            got = decoded[i] if i < len(decoded) else "?"
+            if got == expected_payload:
+                correct += 1
+                self.total_correct += 1
+        line = (
+            f"\tTest {self.num_tests:>3}: {trunc(expected_payload):<30} * {times:<3} :: "
+            f"passed {correct:>3} out of {times:<3} ({correct / max(times, 1):.2%})\n"
+        )
+        self.text += line
+        self.markdown += (
+            f"`{trunc(expected_payload):<30}` | {correct:>3} | {times:>3} | "
+            f"{correct / max(times, 1):>.2%}\n"
+        )
+        if print_intermediate:
+            print(line, end="")
+
+    def export(self, path: str, print_output: bool = True, write_output: bool = True) -> float:
+        acc = self.total_correct / max(self.total, 1)
+        self.text += (
+            f"\nRan a total of {self.num_tests} tests, together containing "
+            f"{self.total} payloads.\n"
+            f"====== Total payloads passed: {self.total_correct:>5} out of "
+            f"{self.total:<5}  ({acc:.2%}) ======\n"
+        )
+        self.markdown += (
+            f"\n### Summary for suite '{self.suite}'\n\n"
+            f"Total payloads passed: {self.total_correct} out of {self.total} "
+            f"({acc:.2%})\n\n"
+        )
+        if print_output:
+            print(self.text)
+        if write_output:
+            os.makedirs(path, exist_ok=True)
+            with open(os.path.join(path, self.suite + ".md"), "w") as f:
+                f.write(self.markdown)
+        return acc
+
+
+# ---------------------------------------------------------------------------
+
+
+SHORT_PAYLOADS = [("deadbeef", 5), ("88", 1), ("ffff", 10)]
+
+
+def generate_suite(
+    out_dir: str,
+    suite: str = "short_sim",
+    sfs: Sequence[int] = (7, 8, 9, 10, 11, 12),
+    crs: Sequence[int] = (4, 3, 2, 1),
+    samp_rate: float = 1e6,
+    snr_db: float = 40.0,
+    cfo_hz: float = 0.0,
+    seed: int = 0,
+) -> str:
+    """Create a hermetic SigMF suite under ``out_dir/suite``.
+
+    ``short*`` suites follow the reference matrix; ``decode_long*`` uses a
+    single 255-byte payload (00..fe) at CR 4/8 per SF
+    (apps/generate_test_suites.py:157-200).
+    """
+    suite_dir = os.path.join(out_dir, suite)
+    os.makedirs(suite_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    idx = 0
+    if suite.startswith("decode_long"):
+        cases = [(sf, 4, bytes(range(255)).hex(), 1) for sf in sfs]
+    else:
+        cases = [
+            (sf, cr, payload, times)
+            for sf in sfs
+            for cr in crs
+            for payload, times in SHORT_PAYLOADS
+        ]
+    for sf, cr, payload_hex, times in cases:
+        cfg = LoRaConfig(
+            sf=sf, cr=cr, samp_rate=samp_rate, crc=True, reduced_rate=sf > 10
+        )
+        sps = cfg.samples_per_symbol
+        payload = bytes.fromhex(payload_hex)
+        chunks = []
+        for t in range(times):
+            chunks.append(
+                modulate_frame(
+                    cfg, payload,
+                    pad_before=int(rng.integers(2000, 4000)),
+                    pad_after=sps,
+                    snr_db=snr_db, cfo_hz=cfo_hz,
+                    seed=int(rng.integers(0, 2**31)),
+                )
+            )
+        chunks.append(np.zeros(3 * sps, np.complex64))
+        stream = np.concatenate(chunks)
+        stem = os.path.join(
+            suite_dir, f"{idx:03d}-" + cfg.file_repr().replace("/", "_")
+        )
+        write_trace(
+            stem, stream, samp_rate, config=cfg,
+            capture_freq=868.1e6, transmit_freq=868.1e6,
+            expected=payload_hex, times=times,
+        )
+        idx += 1
+    return suite_dir
+
+
+def run_suite(
+    suites_path: str,
+    suites_to_run: Sequence[str] = (),
+    reports_path: Optional[str] = None,
+    engine: str = "golden",
+    write_output: bool = True,
+) -> dict:
+    """Evaluate every SigMF suite under ``suites_path``
+    (qa_testsuite.py:176-247). Returns {suite: accuracy}."""
+    if reports_path is None:
+        reports_path = os.path.abspath(os.path.join(suites_path, "..", "test-results"))
+    results = {}
+    suites = [
+        x for x in sorted(os.listdir(suites_path))
+        if os.path.isdir(os.path.join(suites_path, x))
+    ]
+    for suite in suites:
+        if suites_to_run and suite not in suites_to_run:
+            continue
+        print(f"[+] Testing suite: '{suite}'")
+        summary = TestSummary(suite)
+        for meta in list_suite(os.path.join(suites_path, suite)):
+            print(f"[+] {meta}")
+            trace = read_trace(meta)
+            cfg = trace.lora_config
+            rx = LoRaReceiver(
+                samp_rate=trace.sample_rate,
+                center_freq=trace.capture_freq,
+                channel_list=[trace.capture_freq + trace.frequency_offset],
+                bandwidth=cfg.bandwidth,
+                sf=cfg.sf,
+                implicit=cfg.implicit,
+                cr=cfg.cr,
+                crc=cfg.crc,
+                reduced_rate=cfg.reduced_rate,
+                engine=engine,
+            )
+            frames = rx.receive(trace.samples)
+            decoded = [f.mac_payload.hex() for f in frames]
+            summary.add(
+                decoded, trace.expected, trace.times,
+                cfg.string_repr(trace.capture_freq),
+            )
+        results[suite] = summary.export(reports_path, write_output=write_output)
+    return results
