@@ -129,7 +129,7 @@ class PolyphaseChannelizer:
         padded = np.zeros(self.K * self.M, dtype=np.float32)
         padded[:ntaps] = taps
         # polyphase decomposition: h_p[j] = h[j*M + p]
-        self.h_poly = jnp.asarray(padded.reshape(self.K, self.M))
+        self.h_poly = padded.reshape(self.K, self.M)  # host constant
 
     @classmethod
     def for_lora(cls, samp_rate: float, num_channels: int, bandwidth: float = 125e3):
@@ -148,13 +148,15 @@ class PolyphaseChannelizer:
         M, K = self.M, self.K
         n_vec = x.shape[-1] // M
         xm = x[: n_vec * M].reshape(n_vec, M)
-        # commutator order: branch p takes x[k*M + p]; standard critically
-        # sampled PFB uses reversed branch assignment for phase alignment.
         n_out = n_vec - K + 1
-        # window stack: frames j..j+K-1 per output -> [n_out, K, M]
-        idx = jnp.arange(n_out)[:, None] + jnp.arange(K)[None, :]
-        frames = xm[idx]  # [n_out, K, M]
-        filtered = jnp.einsum("okm,km->om", frames, self.h_poly)
+        # per-branch FIR along the frame axis: filtered[o, m] =
+        # sum_j h_poly[j, m] * xm[o + j, m] — a K-tap sliding dot per
+        # branch, expressed without an [n_out, K] gather constant
+        filtered = jnp.zeros((n_out, M), xm.dtype)
+        for j in range(K):
+            filtered = filtered + self.h_poly[j][None, :] * jax.lax.dynamic_slice_in_dim(
+                xm, j, n_out, axis=0
+            )
         # FFT across branches: channel c = sum_p filtered[p] e^{-j2pi pc/M},
         # so a tone at c*fs/M lands at DC of channel c (unit gain: the
         # prototype's DC gain is spread over the M branches).

@@ -26,16 +26,10 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from .chirp import instantaneous_frequency
-
-
-def _sliding_windows(x, length: int, n_offsets: int, xp=np):
-    """Return ``[..., n_offsets, length]`` view of sliding windows of ``x``."""
-    if xp is np:
-        w = np.lib.stride_tricks.sliding_window_view(x, length, axis=-1)
-        return w[..., :n_offsets, :]
-    idx = np.arange(n_offsets)[:, None] + np.arange(length)[None, :]
-    return xp.take(x, xp.asarray(idx), axis=-1)
 
 
 def preamble_autocorr(windows, sps: int, xp=np):
@@ -65,6 +59,22 @@ def symbol_energy(window, xp=np):
     return xp.sum(xp.real(window) ** 2 + xp.imag(window) ** 2, axis=-1).astype("float32")
 
 
+def _sliding_dot(x, ref, n_offsets: int, xp=np):
+    """``out[..., i] = sum_k x[..., i+k] * ref[k]`` for i in [0, n_offsets).
+
+    Expressed as a valid cross-correlation so the jnp path lowers to an XLA
+    conv (no multi-MB gather-index constants; TPU-compile friendly).
+    """
+    m = len(ref)
+    if xp is np:
+        w = np.lib.stride_tricks.sliding_window_view(x, m, axis=-1)[..., :n_offsets, :]
+        return w @ ref
+    kernel = xp.asarray(ref[::-1].copy())
+    flat = x.reshape((-1, x.shape[-1]))
+    out = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(flat)
+    return out[..., :n_offsets].reshape(x.shape[:-1] + (n_offsets,))
+
+
 def upchirp_sync_xcorr(windows2, upchirp_ifreq, sps: int, xp=np):
     """Sliding upchirp alignment search over a 2-symbol window.
 
@@ -73,9 +83,8 @@ def upchirp_sync_xcorr(windows2, upchirp_ifreq, sps: int, xp=np):
     dot-product with the ideal upchirp over ``sps-1`` samples.
     """
     ifr = instantaneous_frequency(windows2, xp=xp)  # [..., 2*sps]
-    ref = upchirp_ifreq[: sps - 1]
-    w = _sliding_windows(ifr, sps - 1, sps, xp=xp)  # [..., sps, sps-1]
-    corr = w @ ref  # [..., sps]
+    ref = np.asarray(upchirp_ifreq[: sps - 1])
+    corr = _sliding_dot(ifr, ref, sps, xp=xp)  # [..., sps]
     idx = xp.argmax(corr, axis=-1)
     return idx.astype("int32"), xp.max(corr, axis=-1).astype("float32")
 
@@ -174,13 +183,28 @@ def fine_sync_lag(window, bin_idx, upchirp_ifreq_tiled, sps: int, decim: int,
     """
     ifr = instantaneous_frequency(window, xp=xp)  # [..., sps]
     lags = np.arange(-search_space + 1, search_space)  # static
-    # Reference row for lag l: upchirp_ifreq_tiled[shift_ref + l + sps : + sps]
+    n_lags = len(lags)
     base = (xp.asarray(bin_idx) + 1) * decim + sps  # [...]
-    offs = xp.asarray(lags[:, None] + np.arange(sps)[None, :])  # [n_lags, sps]
-    idx = base[..., None, None] + offs  # [..., n_lags, sps]
-    refs = xp.take(upchirp_ifreq_tiled, idx, axis=-1) if xp is np else xp.take(
-        upchirp_ifreq_tiled, idx)
-    corr = xp.einsum("...s,...ls->...l", ifr, refs)  # [..., n_lags]
+    if xp is np:
+        # Reference row for lag l: tiled[shift_ref + l + sps : + sps]
+        offs = lags[:, None] + np.arange(sps)[None, :]  # [n_lags, sps]
+        idx = np.asarray(base)[..., None, None] + offs
+        refs = np.take(upchirp_ifreq_tiled, idx, axis=-1)
+        corr = np.einsum("...s,...ls->...l", ifr, refs)
+    else:
+        # corr[l] = sum_k ifr[k] * tiled[base + lags[l] + k]: a valid
+        # cross-correlation of a dynamically-sliced table section with the
+        # window's ifreq (conv lowering; no big gather constants)
+        table = xp.asarray(np.asarray(upchirp_ifreq_tiled))
+        sec_len = sps + n_lags - 1
+
+        def one(b, f):
+            section = jax.lax.dynamic_slice(table, (b + lags[0],), (sec_len,))
+            return jnp.convolve(section, f[::-1], mode="valid")
+
+        bflat = base.reshape(-1)
+        fflat = ifr.reshape(-1, sps)
+        corr = jax.vmap(one)(bflat, fflat).reshape(base.shape + (n_lags,))
     best = xp.argmax(corr, axis=-1)
     pos = xp.take_along_axis(corr, best[..., None], axis=-1)[..., 0] > 0.0
     lag = xp.where(pos, xp.asarray(lags)[best], 0)

@@ -43,14 +43,18 @@ def detection_metrics(x, sps: int):
 def candidate_starts(corr, threshold: float, max_candidates: int):
     """Rising-edge packet-start candidates from the dense metric.
 
-    A candidate is the first window of a run of ``corr >= threshold``
-    (the dense analogue of DETECT firing then handing off to SYNC). Returns
-    ``(starts, valid)``: ``[..., max_candidates]`` window indices (first
-    ``max_candidates`` per stream, int32) and a validity mask.
+    A candidate is the first window of a run of >= 2 consecutive
+    ``corr >= threshold`` windows (a real preamble of >= 3 symbols always
+    yields such a run at symbol stride; isolated data-symbol coincidences
+    rarely do — this keeps spurious candidates from exhausting the fixed
+    candidate capacity). Returns ``(starts, valid)``:
+    ``[..., max_candidates]`` window indices (first ``max_candidates`` per
+    stream, int32) and a validity mask.
     """
     hit = corr >= threshold
+    nxt = jnp.pad(hit[..., 1:], [(0, 0)] * (hit.ndim - 1) + [(0, 1)])
     prev = jnp.pad(hit[..., :-1], [(0, 0)] * (hit.ndim - 1) + [(1, 0)])
-    rising = hit & ~prev
+    rising = hit & nxt & ~prev
     K = corr.shape[-1]
     idx = jnp.where(rising, jnp.arange(K), K)
     starts = jnp.sort(idx, axis=-1)[..., :max_candidates]

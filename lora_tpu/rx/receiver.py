@@ -116,7 +116,12 @@ class JaxReceiver:
             demod_buf=jnp.zeros(MAX_CODEWORDS, jnp.int32), n_demod=z,
             hdr_cr=jnp.int32(self.cfg.cr),
             hdr_crc=jnp.int32(1 if self.cfg.crc else 0),
-            hdr_bytes=jnp.zeros(3, jnp.int32),
+            # d_phdr starts from constructor args (reference :72-73);
+            # matters for implicit mode where no header is decoded
+            hdr_bytes=jnp.asarray(
+                [0, (self.cfg.cr << 5) | ((1 if self.cfg.crc else 0) << 4), 0],
+                jnp.int32,
+            ),
             payload_symbols=z, payload_length=z,
             energy_thresh=jnp.float32(0.0), corr_fails=z,
             snr=jnp.float32(0.0), pwr_queue=jnp.zeros(4, jnp.float32), pwr_len=z,
