@@ -43,9 +43,11 @@ def main():
         stream = np.pad(stream, (0, block_len - len(stream)))
     x = np.stack([np.roll(stream, 997 * c) for c in range(n_channels)]).astype(np.complex64)
 
+    from lora_tpu.ops.xfer import pack_iq
+
     rx = DenseReceiver(cfg, max_candidates=8, max_symbols=24,
                        sfd_search=12, demod_method="fft")
-    xd = jax.device_put(x)
+    xd = jax.device_put(pack_iq(x))
 
     # warmup / compile
     res = rx.process(xd)

@@ -1,0 +1,31 @@
+"""Host<->device transfer helpers.
+
+Complex64 arrays are never moved across the host<->device boundary: IQ is
+packed as float32 ``[..., 2, L]`` (real/imag planes) and recombined inside
+jit. Two reasons:
+
+1. TPU transports may not support complex transfers at all (the axon
+   tunnel used in this environment fails with UNIMPLEMENTED and poisons
+   the session on any complex64 device_put / device_get).
+2. TPUs have no native complex arithmetic anyway — XLA decomposes it —
+   so a float32 plane layout is the honest native input format.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def pack_iq(x: np.ndarray) -> np.ndarray:
+    """complex ``[..., L]`` -> float32 ``[..., 2, L]`` (host-side)."""
+    x = np.asarray(x)
+    if not np.iscomplexobj(x):
+        raise TypeError("pack_iq expects a complex array")
+    return np.stack([x.real.astype(np.float32), x.imag.astype(np.float32)], axis=-2)
+
+
+def unpack_iq(xf) -> jnp.ndarray:
+    """float32 ``[..., 2, L]`` -> complex64 ``[..., L]`` (inside jit)."""
+    return jax.lax.complex(xf[..., 0, :], xf[..., 1, :])

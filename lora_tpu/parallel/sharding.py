@@ -48,14 +48,15 @@ def channel_sharded_process(receiver: DenseReceiver, mesh: Mesh,
                             axis: str = "dev"):
     """Compile the dense pipeline with channels sharded over ``mesh``.
 
-    Returns ``fn(x)`` for ``x: [C, L]`` with ``C`` divisible by the mesh
-    size; the result arrays inherit the channel sharding.
+    Returns ``fn(xf)`` for packed IQ ``xf: [C, 2, L]`` (see
+    ``lora_tpu.ops.xfer.pack_iq``) with ``C`` divisible by the mesh size;
+    the result arrays inherit the channel sharding.
     """
-    in_shard = NamedSharding(mesh, P(axis, None))
+    in_shard = NamedSharding(mesh, P(axis, None, None))
 
     @functools.partial(jax.jit, in_shardings=(in_shard,))
-    def fn(x):
-        return receiver.process_fn(x)
+    def fn(xf):
+        return receiver.process_fn(xf)
 
     return fn
 
@@ -64,10 +65,10 @@ def time_sharded_process(receiver: DenseReceiver, mesh: Mesh,
                          axis: str = "dev", halo_samples: Optional[int] = None):
     """Compile an overlap-save time-sharded pipeline over ``mesh``.
 
-    Returns ``fn(x)`` for a single stream ``x: [L]`` with ``L`` divisible
-    by the mesh size; each device decodes its block plus a right halo and
-    keeps only packets starting inside the block. Result leading axis is
-    the device/block index; ``start`` values are block-relative.
+    Returns ``fn(xf)`` for one packed stream ``xf: [2, L]`` with ``L``
+    divisible by the mesh size; each device decodes its block plus a right
+    halo and keeps only packets starting inside the block. Result leading
+    axis is the device/block index; ``start`` values are block-relative.
     """
     n_dev = mesh.shape[axis]
     if halo_samples is None:
@@ -77,17 +78,16 @@ def time_sharded_process(receiver: DenseReceiver, mesh: Mesh,
     shard_map = jax.shard_map
 
     def local_fn(xb):
-        # xb: local block [L/n_dev]
-        xb = xb.reshape(-1)
-        head = jax.lax.dynamic_slice_in_dim(xb, 0, min(halo, xb.shape[0]), axis=0)
+        # xb: local packed block [2, L/n_dev]
+        head = jax.lax.dynamic_slice_in_dim(xb, 0, min(halo, xb.shape[-1]), axis=-1)
         # right neighbour's head arrives as our halo (circular ring; the
         # wrap pair is harmless: the last block's halo is the stream head)
         perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
         from_right = jax.lax.ppermute(head, axis, perm)
-        ext = jnp.concatenate([xb, from_right])
+        ext = jnp.concatenate([xb, from_right], axis=-1)
         res = receiver.process_fn(ext)
         # claim only packets starting inside the local block
-        own = res.start < xb.shape[0]
+        own = res.start < xb.shape[-1]
         return DenseResult(
             valid=(res.valid & own)[None],
             payload=res.payload[None],
@@ -99,7 +99,7 @@ def time_sharded_process(receiver: DenseReceiver, mesh: Mesh,
 
     sm = shard_map(
         local_fn, mesh=mesh,
-        in_specs=P(axis),
+        in_specs=P(None, axis),
         out_specs=DenseResult(
             valid=P(axis), payload=P(axis), length=P(axis),
             hdr=P(axis), snr=P(axis), start=P(axis),

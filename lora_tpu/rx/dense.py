@@ -40,7 +40,7 @@ import numpy as np
 
 from ..config import LoRaConfig, MAC_CRC_SIZE
 from ..io.frames import Frame, PhyHeader
-from ..ops import bits, decode as dec, demod
+from ..ops import bits, decode as dec, demod, xfer
 from ..ops.chirp import build_ideal_chirps, instantaneous_frequency, tiled_upchirp_ifreq
 from .frontend import detection_metrics, candidate_starts
 
@@ -216,8 +216,13 @@ class DenseReceiver:
     def _build(self):
         sps = self.sps
 
-        def process(x):
-            """``x``: complex64 ``[..., L]`` -> DenseResult."""
+        def process(xf):
+            """``xf``: packed IQ float32 ``[..., 2, L]`` -> DenseResult.
+
+            (Packed input keeps complex64 off the host<->device boundary;
+            see :mod:`lora_tpu.ops.xfer`.)
+            """
+            x = xfer.unpack_iq(xf)
             if self.cfg.conj:
                 x = jnp.conj(x)
             corr, e1, e2 = detection_metrics(x, sps)
@@ -255,8 +260,12 @@ class DenseReceiver:
 
     # ------------------------------------------------------------------
     def process(self, x) -> DenseResult:
-        if not isinstance(x, jax.Array):  # avoid device->host roundtrips
-            x = jnp.asarray(np.asarray(x, dtype=np.complex64))
+        """Run the pipeline. ``x`` may be host complex IQ, host packed
+        float32 ``[..., 2, L]``, or an already-on-device packed array."""
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+            if np.iscomplexobj(x):
+                x = xfer.pack_iq(x.astype(np.complex64))
         return self._process(x)
 
     def run(self, x, channel_offset: int = 0) -> List[Frame]:

@@ -35,7 +35,7 @@ import numpy as np
 
 from ..config import LoRaConfig, MAC_CRC_SIZE
 from ..io.frames import Frame, PhyHeader
-from ..ops import bits, demod
+from ..ops import bits, demod, xfer
 from ..ops.chirp import build_ideal_chirps, instantaneous_frequency, tiled_upchirp_ifreq
 from ..ops.hamming import HAMMING84_DECODE_LUT
 from ..tables import PRNG_PAYLOAD_CR56, PRNG_PAYLOAD_CR78
@@ -272,7 +272,9 @@ class JaxReceiver:
         cfg = self.cfg
         sps = self.sps
 
-        def run(samples):
+        def run(samples_f):
+            # packed IQ float32 [2, L] (see lora_tpu.ops.xfer)
+            samples = xfer.unpack_iq(samples_f)
             if cfg.conj:
                 samples = jnp.conj(samples)
             n = samples.shape[0]
@@ -409,7 +411,9 @@ class JaxReceiver:
     # ------------------------------------------------------------------
     def run(self, samples) -> List[Frame]:
         """Decode a stream; returns host-side Frame objects."""
-        samples = jnp.asarray(np.asarray(samples, dtype=np.complex64))
+        samples = np.asarray(samples)
+        if np.iscomplexobj(samples):
+            samples = xfer.pack_iq(samples.astype(np.complex64))
         st = self._run(samples)
         return self.frames_from_state(jax.device_get(st))
 

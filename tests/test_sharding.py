@@ -11,6 +11,7 @@ from lora_tpu.parallel import (
     time_sharded_process,
 )
 from lora_tpu.rx.dense import DenseReceiver
+from lora_tpu.ops.xfer import pack_iq
 from lora_tpu.tx.modulator import modulate_frame
 
 DEADBEEF = bytes.fromhex("deadbeef")
@@ -34,7 +35,7 @@ def test_channel_sharded(small_setup):
     stream = np.concatenate([pkt, pkt]).astype(np.complex64)
     x = np.stack([np.roll(stream, 31 * c) for c in range(8)]).astype(np.complex64)
     fn = channel_sharded_process(rx, mesh)
-    res = jax.device_get(fn(x))
+    res = jax.device_get(fn(pack_iq(x)))
     assert int(res.valid.sum()) == 16
     ok = res.payload[res.valid]
     assert all(bytes(p[:4]) == DEADBEEF for p in ok)
@@ -50,7 +51,7 @@ def test_time_sharded_halo(small_setup):
     block = (len(stream) // 8 // sps) * sps
     stream = stream[: block * 8]
     fn = time_sharded_process(rx, mesh)
-    res = jax.device_get(fn(stream))
+    res = jax.device_get(fn(pack_iq(stream)))
     n_expected = sum(
         1 for k in range(12) if k * len(pkt) < block * 8 - len(pkt)
     )
@@ -72,6 +73,6 @@ def test_no_double_claim(small_setup):
     block = (len(stream) // 8 // sps) * sps
     stream = stream[: block * 8]
     fn = time_sharded_process(rx, mesh)
-    res = jax.device_get(fn(stream))
+    res = jax.device_get(fn(pack_iq(stream)))
     # every complete packet decoded exactly once
     assert int(res.valid.sum()) == 16
