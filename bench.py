@@ -38,10 +38,14 @@ def main():
     pkt = modulate_frame(cfg, bytes.fromhex("deadbeef"), pad_before=4096,
                          pad_after=4096, snr_db=40.0)
     reps = block_len // len(pkt)
-    stream = np.tile(pkt, max(1, reps))[:block_len]
-    if len(stream) < block_len:
-        stream = np.pad(stream, (0, block_len - len(stream)))
-    x = np.stack([np.roll(stream, 997 * c) for c in range(n_channels)]).astype(np.complex64)
+    # per-channel phase offset without splitting any packet mid-stream
+    # (a truncated packet at the block tail is expected and not counted)
+    chans = []
+    for c in range(n_channels):
+        s = np.concatenate([np.zeros(997 * c, np.complex64),
+                            np.tile(pkt, max(1, reps))])[:block_len]
+        chans.append(np.pad(s, (0, block_len - len(s))))
+    x = np.stack(chans).astype(np.complex64)
 
     from lora_tpu.ops.xfer import pack_iq
 
@@ -49,20 +53,34 @@ def main():
                        sfd_search=12, demod_method="fft")
     xd = jax.device_put(pack_iq(x))
 
-    # warmup / compile
+    # warmup / compile + correctness gate: decoded payloads must be right
     res = rx.process(xd)
     jax.block_until_ready(res)
-    n_frames = int(np.asarray(res.valid).sum())
+    valid = np.asarray(res.valid)
+    payload = np.asarray(res.payload)
+    length = np.asarray(res.length)
+    n_frames = int(valid.sum())
     expected = n_channels * min(8, reps)
-    if n_frames < expected * 0.9:
-        print(f"WARNING: decoded {n_frames}, expected ~{expected}", file=sys.stderr)
+    bad = 0
+    for c, k in zip(*np.nonzero(valid)):
+        if bytes(payload[c, k][: length[c, k]])[:4] != b"\xde\xad\xbe\xef":
+            bad += 1
+    if n_frames < expected * 0.9 or bad:
+        print(
+            f"WARNING: decoded {n_frames}/{expected} frames, {bad} wrong payloads",
+            file=sys.stderr,
+        )
 
-    # timed
+    # timed. NOTE: through the remote-TPU tunnel jax.block_until_ready() is
+    # NOT a reliable completion barrier (it can return immediately); a
+    # device->host fetch of the final result is. TPU executes dispatches
+    # in order, so fetching the last iteration's output waits for all of
+    # them.
     iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         res = rx.process(xd)
-    jax.block_until_ready(res)
+    np.asarray(res.valid)
     dt = time.perf_counter() - t0
 
     total_samples = n_channels * block_len * iters

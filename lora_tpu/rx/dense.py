@@ -227,6 +227,13 @@ class DenseReceiver:
                 x = jnp.conj(x)
             corr, e1, e2 = detection_metrics(x, sps)
             starts, s_valid = candidate_starts(corr, 0.90, self.P)  # [..., P]
+            # Decode from one window past the rising edge: the edge window
+            # may begin slightly before the preamble (leading silence skews
+            # the sync xcorr by a fraction of a symbol and the SFD walk
+            # then burns its fail budget on ~-0.8 correlations); one window
+            # later is guaranteed fully inside the >=8-symbol preamble and
+            # the sfd_search budget covers the extra symbol.
+            starts = starts + 1
             # SNR estimate: packet energy / noise-floor proxy (min window energy)
             noise = jnp.min(e1, axis=-1, keepdims=True)
             sig = jnp.take_along_axis(e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1)
