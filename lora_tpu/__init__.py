@@ -13,3 +13,15 @@ __version__ = "0.1.0"
 
 from .config import LoRaConfig  # noqa: F401
 from .io.frames import Frame, PhyHeader, LoRaTapHeader  # noqa: F401
+
+
+def __getattr__(name):  # lazy: avoid importing jax at package import
+    if name == "StreamingReceiver":
+        from .stream import StreamingReceiver
+
+        return StreamingReceiver
+    if name == "LoRaReceiver":
+        from .receiver import LoRaReceiver
+
+        return LoRaReceiver
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

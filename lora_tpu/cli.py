@@ -26,6 +26,11 @@ def cmd_decode_file(args) -> int:
     from .io.udp import MessageSocketSink
     from .io.sigmf import read_trace
 
+    import os
+
+    if not os.path.exists(args.file):
+        print(f"error: no such capture file: {args.file}", file=sys.stderr)
+        return 2
     if args.file.endswith(".sigmf-meta"):
         trace = read_trace(args.file)
         samples = trace.samples
@@ -92,6 +97,13 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    from .debugger import live_analyze
+
+    live_analyze(args.socket, max_buffers=args.max_buffers)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="lora_tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -141,8 +153,31 @@ def main(argv=None) -> int:
     b.add_argument("--channels", type=int, default=None)
     b.set_defaults(fn=cmd_bench)
 
+    a = sub.add_parser(
+        "analyze", help="live sample scope (parity with grlora_analyze.py)"
+    )
+    a.add_argument("--socket", default="/tmp/gr_lora.sock")
+    a.add_argument("--max-buffers", type=int, default=None)
+    a.set_defaults(fn=cmd_analyze)
+
     args = p.parse_args(argv)
     return args.fn(args)
+
+
+# console_scripts entry points (pyproject.toml) — one per tool, matching
+# the reference's one-app-per-task layout (apps/).
+def _entry(command):
+    def run() -> int:
+        return main([command] + sys.argv[1:])
+
+    return run
+
+
+main_decode_file = _entry("decode-file")
+main_testsuite = _entry("testsuite")
+main_gen_suite = _entry("gen-suite")
+main_bench = _entry("bench")
+main_analyze = _entry("analyze")
 
 
 if __name__ == "__main__":

@@ -93,9 +93,15 @@ class LoRaTapHeader:
 
 
 def snr_to_loratap(snr: float) -> int:
-    """``(uint8)(10*log10(snr) + 0.5)`` — reference lib/decoder_impl.cc:597."""
+    """``(uint8)(10*log10(snr) + 0.5)`` — reference lib/decoder_impl.cc:597.
+
+    Out-of-range estimates (zero/negative noise floor on synthetic
+    captures gives snr of 0 or inf) clamp instead of overflowing.
+    """
     if snr <= 0.0 or math.isnan(snr):
         return 0
+    if math.isinf(snr):
+        return 0xFF
     return int(10.0 * math.log10(snr) + 0.5) & 0xFF
 
 

@@ -16,23 +16,45 @@ from .frames import Frame, LORATAP
 
 
 class MessageFileSink:
-    """Appends raw frame bytes to a binary file, flushing per message."""
+    """Appends raw frame bytes to a binary file, flushing per message.
 
-    def __init__(self, path: str, layer: int = LORATAP):
+    ``backend="auto"`` prefers the native C++ writer
+    (:mod:`lora_tpu.native`), falling back to Python file IO.
+    """
+
+    def __init__(self, path: str, layer: int = LORATAP, backend: str = "auto"):
         self.path = path
         self.layer = layer
-        self._f = open(path, "ab")
+        self._native = None
+        self._f = None
+        if backend in ("auto", "native"):
+            try:
+                from ..native import NativeFileSink
+
+                self._native = NativeFileSink(path)
+            except Exception:
+                if backend == "native":
+                    raise
+        if self._native is None:
+            self._f = open(path, "ab")
 
     def handle(self, frame: Frame) -> None:
-        self._f.write(frame.to_bytes(self.layer))
-        self._f.flush()
+        data = frame.to_bytes(self.layer)
+        if self._native is not None:
+            self._native.write(data)
+        else:
+            self._f.write(data)
+            self._f.flush()
 
     def handle_all(self, frames) -> None:
         for f in frames:
             self.handle(f)
 
     def close(self) -> None:
-        self._f.close()
+        if self._native is not None:
+            self._native.close()
+        if self._f is not None:
+            self._f.close()
 
 
 class MessageMongoDBSink:

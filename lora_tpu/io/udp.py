@@ -27,22 +27,45 @@ class MessageSocketSink:
     ``layer``: LORATAP (0) full frame, LORAPHY (1) strip loratap header,
     LORAMAC (2) strip loratap+phy headers and MAC CRC (reference
     message_socket_sink_impl.cc:97-116; default endpoint 127.0.0.1:40868).
+
+    ``backend``: "auto" prefers the native C++ sendto path
+    (:mod:`lora_tpu.native`), falling back to the Python socket;
+    "python"/"native" force one.
     """
 
-    def __init__(self, ip: str = "127.0.0.1", port: int = 40868, layer: int = LORATAP):
+    def __init__(self, ip: str = "127.0.0.1", port: int = 40868,
+                 layer: int = LORATAP, backend: str = "auto"):
         self.addr = (ip, port)
         self.layer = layer
-        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._native = None
+        self.sock = None
+        if backend in ("auto", "native"):
+            try:
+                from ..native import NativeUdpSink
+
+                self._native = NativeUdpSink(ip, port)
+            except Exception:
+                if backend == "native":
+                    raise
+        if self._native is None:
+            self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
 
     def handle(self, frame: Frame) -> None:
-        self.sock.sendto(frame.to_bytes(self.layer), self.addr)
+        data = frame.to_bytes(self.layer)
+        if self._native is not None:
+            self._native.send(data)
+        else:
+            self.sock.sendto(data, self.addr)
 
     def handle_all(self, frames) -> None:
         for f in frames:
             self.handle(f)
 
     def close(self) -> None:
-        self.sock.close()
+        if self._native is not None:
+            self._native.close()
+        if self.sock is not None:
+            self.sock.close()
 
 
 class MessageSocketSource:

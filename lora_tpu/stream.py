@@ -1,0 +1,219 @@
+"""Continuous streaming around the block receiver (the scheduler layer).
+
+The reference runs inside GNU Radio's threaded flowgraph scheduler:
+bounded buffers between blocks, backpressure via ``work()``/
+``consume_each`` (SURVEY.md §2.5). The TPU equivalent implemented here:
+
+- **overlap-save blocking**: the unbounded IQ stream is cut into
+  fixed-size blocks of ``hop + halo`` samples, ``halo >= `` one maximal
+  packet region, so every packet is fully contained in at least one block.
+- **ownership dedup**: a packet is emitted only by the block whose ``hop``
+  region contains its start — packets straddling a seam are decoded by
+  the next block, never twice.
+- **double buffering**: block ``k+1`` is dispatched to the device before
+  block ``k``'s results are fetched, overlapping host IO with device
+  compute (XLA async dispatch is the pipeline parallelism here).
+- **bounded ring ingestion**: when the native host library is available,
+  IQ flows through the lock-free C++ SPSC ring
+  (:class:`lora_tpu.native.SampleRing`) with peek/advance overlap-save —
+  the GNU Radio bounded-buffer/backpressure primitive.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .io.frames import Frame
+from .ops.xfer import pack_iq
+from .rx.dense import DenseReceiver
+
+
+class StreamingReceiver:
+    """Feed arbitrary-length IQ in, get deduplicated frames out.
+
+    ``block_symbols``: owned (hop) region length per block, in symbols.
+    Candidate capacity of ``receiver`` must cover the packets expected in
+    one hop region.
+    """
+
+    def __init__(
+        self,
+        receiver: DenseReceiver,
+        block_symbols: int = 512,
+        sinks: Sequence = (),
+        max_in_flight: int = 2,
+        use_native_ring: bool = True,
+    ):
+        self.rx = receiver
+        sps = receiver.sps
+        self.hop = block_symbols * sps
+        # halo: one full packet region + a sync symbol of slack
+        self.halo = receiver.pkt_samples + 2 * sps
+        if self.hop < self.halo:
+            raise ValueError(
+                f"block_symbols={block_symbols} gives hop {self.hop} < halo "
+                f"{self.halo}; seam packets would outrun the next block's "
+                f"owned region — use a larger block"
+            )
+        self.block_len = self.hop + self.halo
+        self.sinks = list(sinks)
+        self.max_in_flight = max(1, max_in_flight)
+
+        self._pending: List[tuple] = []  # (device result, abs offset)
+        self._abs = 0  # absolute sample index of current buffer head
+        self._frames: List[Frame] = []
+        self._emitted_starts: List[int] = []  # recent abs starts (dedup)
+        # two decodable packets cannot start closer than preamble+header
+        # (~20 symbols); a seam-clipped rising edge shifts the reported
+        # start by at most a couple of windows — 16 symbols separates the
+        # two cases with a wide margin either way
+        self._dedup_distance = 16 * sps
+        self._eof = False
+
+        self._ring = None
+        if use_native_ring:
+            try:
+                from .native import SampleRing
+
+                # capacity: a few blocks of packed complex64
+                self._ring = SampleRing(8 * self.block_len * 8)
+            except Exception:
+                self._ring = None
+        self._buf = np.zeros(0, np.complex64)  # python fallback buffer
+
+    # ------------------------------------------------------------- ingest
+    @property
+    def _buffered(self) -> int:
+        if self._ring is not None:
+            return self._ring.readable // 8
+        return len(self._buf)
+
+    def push(self, samples) -> List[Frame]:
+        """Append IQ samples; returns frames completed by this push."""
+        x = np.ascontiguousarray(np.asarray(samples, dtype=np.complex64))
+        if self._ring is not None:
+            raw = x.tobytes()
+            off = 0
+            while off < len(raw):
+                wrote = self._ring.write(raw[off:])
+                off += wrote
+                if wrote == 0:
+                    # ring full -> consume blocks to free space (backpressure)
+                    self._pump(force=True)
+        else:
+            self._buf = np.concatenate([self._buf, x])
+        self._pump()
+        return self._collect()
+
+    def flush(self) -> List[Frame]:
+        """End of stream: process the tail (zero-padded) and drain."""
+        self._eof = True
+        self._pump()
+        tail = self._take(self._buffered, consume=self._buffered)
+        if len(tail):
+            block = np.zeros(self.block_len, np.complex64)
+            block[: len(tail)] = tail
+            self._dispatch(block, self._abs, own=len(tail))
+            self._abs += len(tail)
+        self._drain(0)
+        return self._collect()
+
+    # ------------------------------------------------------------ blocks
+    def _take(self, n: int, consume: int) -> np.ndarray:
+        """Peek ``n`` samples from the head, consuming ``consume``."""
+        if self._ring is not None:
+            data = np.frombuffer(self._ring.peek(n * 8), dtype=np.complex64)
+            self._ring.advance(consume * 8)
+            return data
+        data = self._buf[:n]
+        self._buf = self._buf[consume:]
+        return data
+
+    def _pump(self, force: bool = False) -> None:
+        while self._buffered >= self.block_len:
+            block = self._take(self.block_len, consume=self.hop)
+            self._dispatch(block, self._abs, own=self.hop)
+            self._abs += self.hop
+            if not force:
+                self._drain(self.max_in_flight - 1)
+        if force:
+            self._drain(0)
+
+    def _dispatch(self, block: np.ndarray, abs_offset: int, own: int) -> None:
+        res = self.rx.process(pack_iq(block[None]))
+        self._pending.append((res, abs_offset, own))
+        self._drain(self.max_in_flight)
+
+    def _drain(self, keep: int) -> None:
+        while len(self._pending) > keep:
+            res, abs_offset, own = self._pending.pop(0)
+            import jax
+
+            r = jax.device_get(res)
+            valid = np.asarray(r.valid)[0]
+            starts = np.asarray(r.start)[0]
+            for k in np.nonzero(valid)[0]:
+                if starts[k] >= own:  # owned by a later block
+                    continue
+                abs_start = int(abs_offset + starts[k])
+                # seam dedup: a packet whose rising edge is clipped by the
+                # block boundary re-detects in the next block at a slightly
+                # different start — suppress near-duplicates (first block,
+                # which saw the unclipped preamble, wins)
+                if any(
+                    abs(abs_start - s) < self._dedup_distance
+                    for s in self._emitted_starts
+                ):
+                    continue
+                self._emitted_starts.append(abs_start)
+                if len(self._emitted_starts) > 64:
+                    del self._emitted_starts[:32]
+                from .io.frames import PhyHeader
+
+                f = Frame(
+                    phy_header=PhyHeader.from_bytes(bytes(np.asarray(r.hdr)[0, k])),
+                    payload=bytes(
+                        np.asarray(r.payload)[0, k][: np.asarray(r.length)[0, k]]
+                    ),
+                    snr=float(np.asarray(r.snr)[0, k]),
+                    channel=0,
+                    sample_index=abs_start,
+                )
+                self._frames.append(f)
+                for s in self.sinks:
+                    s.handle(f)
+
+    def _collect(self) -> List[Frame]:
+        out, self._frames = self._frames, []
+        return out
+
+    def close(self) -> None:
+        if self._ring is not None:
+            self._ring.close()
+            self._ring = None
+
+
+def stream_file(
+    path: str,
+    receiver: DenseReceiver,
+    block_symbols: int = 512,
+    sinks: Sequence = (),
+    chunk_samples: Optional[int] = None,
+) -> List[Frame]:
+    """Decode a cf32 capture by streaming it through fixed-size blocks —
+    the end-to-end analogue of ``file_source -> lora_receiver`` in the
+    reference demo flowgraph (apps/lora_receive_file_nogui.py:30-40)."""
+    sr = StreamingReceiver(receiver, block_symbols, sinks)
+    chunk = chunk_samples or sr.block_len
+    frames: List[Frame] = []
+    with open(path, "rb") as f:
+        while True:
+            raw = f.read(chunk * 8)
+            if not raw:
+                break
+            frames += sr.push(np.frombuffer(raw, dtype=np.complex64))
+    frames += sr.flush()
+    sr.close()
+    return frames
