@@ -222,48 +222,53 @@ class DenseReceiver:
             (Packed input keeps complex64 off the host<->device boundary;
             see :mod:`lora_tpu.ops.xfer`.)
             """
-            x = xfer.unpack_iq(xf)
-            if self.cfg.conj:
-                x = jnp.conj(x)
-            corr, e1, e2 = detection_metrics(x, sps)
-            starts, s_valid = candidate_starts(corr, 0.90, self.P)  # [..., P]
-            # Decode from one window past the rising edge: the edge window
-            # may begin slightly before the preamble (leading silence skews
-            # the sync xcorr by a fraction of a symbol and the SFD walk
-            # then burns its fail budget on ~-0.8 correlations); one window
-            # later is guaranteed fully inside the >=8-symbol preamble and
-            # the sfd_search budget covers the extra symbol.
-            starts = starts + 1
-            # SNR estimate: packet energy / noise-floor proxy (min window energy)
-            noise = jnp.min(e1, axis=-1, keepdims=True)
-            sig = jnp.take_along_axis(e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1)
-            snr = sig / jnp.maximum(noise, 1e-30)
-
-            pad = jnp.zeros(x.shape[:-1] + (self.pkt_samples,), x.dtype)
-            xp_ = jnp.concatenate([x, pad], axis=-1)
-
-            def per_candidate(stream, start_win):
-                region = jax.lax.dynamic_slice_in_dim(
-                    stream, start_win * sps, self.pkt_samples, axis=-1
-                )
-                return self._decode_candidate(region)
-
-            fn = per_candidate
-            # vmap over candidates, then over any leading stream dims
-            fn = jax.vmap(fn, in_axes=(None, 0))
-            for _ in range(x.ndim - 1):
-                fn = jax.vmap(fn, in_axes=(0, 0))
-            ok, pay, plen, hdr = fn(xp_, starts)
-            return DenseResult(
-                valid=ok & s_valid,
-                payload=pay,
-                length=plen,
-                hdr=hdr,
-                snr=snr.astype(jnp.float32),
-                start=starts * sps,
-            )
+            return self.process_complex(xfer.unpack_iq(xf))
 
         return process
+
+    def process_complex(self, x):
+        """Trace-time core on complex IQ ``[..., L]`` — call inside jit
+        (e.g. fused behind an on-device channelizer)."""
+        sps = self.sps
+        if self.cfg.conj:
+            x = jnp.conj(x)
+        corr, e1, e2 = detection_metrics(x, sps)
+        starts, s_valid = candidate_starts(corr, 0.90, self.P)  # [..., P]
+        # Decode from one window past the rising edge: the edge window
+        # may begin slightly before the preamble (leading silence skews
+        # the sync xcorr by a fraction of a symbol and the SFD walk
+        # then burns its fail budget on ~-0.8 correlations); one window
+        # later is guaranteed fully inside the >=8-symbol preamble and
+        # the sfd_search budget covers the extra symbol.
+        starts = starts + 1
+        # SNR estimate: packet energy / noise-floor proxy (min window energy)
+        noise = jnp.min(e1, axis=-1, keepdims=True)
+        sig = jnp.take_along_axis(e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1)
+        snr = sig / jnp.maximum(noise, 1e-30)
+
+        pad = jnp.zeros(x.shape[:-1] + (self.pkt_samples,), x.dtype)
+        xp_ = jnp.concatenate([x, pad], axis=-1)
+
+        def per_candidate(stream, start_win):
+            region = jax.lax.dynamic_slice_in_dim(
+                stream, start_win * sps, self.pkt_samples, axis=-1
+            )
+            return self._decode_candidate(region)
+
+        fn = per_candidate
+        # vmap over candidates, then over any leading stream dims
+        fn = jax.vmap(fn, in_axes=(None, 0))
+        for _ in range(x.ndim - 1):
+            fn = jax.vmap(fn, in_axes=(0, 0))
+        ok, pay, plen, hdr = fn(xp_, starts)
+        return DenseResult(
+            valid=ok & s_valid,
+            payload=pay,
+            length=plen,
+            hdr=hdr,
+            snr=snr.astype(jnp.float32),
+            start=starts * sps,
+        )
 
     # ------------------------------------------------------------------
     def process(self, x) -> DenseResult:

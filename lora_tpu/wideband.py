@@ -1,0 +1,109 @@
+"""Wideband full-band receiver: PFB channelizer + dense decode, one jit.
+
+The capability the reference explicitly lacks ("decoding multiple channels
+simultaneously", reference README.md:10-14; its channelizer extracts only
+``channel_list[0]``, lib/channelizer_impl.cc:47). Here one wideband capture
+at ``M * chan_rate`` is split by the critically-sampled polyphase
+filterbank into ``M`` channel streams which are decoded by the dense
+receiver in the same compiled program — channelization output never
+returns to the host, so the whole band runs at device speed.
+
+Channel ``c`` of the PFB sits at ``pfb_channel_freqs(samp_rate, M)[c]`` Hz
+relative to the capture center; :meth:`WidebandReceiver.run` stamps each
+frame with its channel index and center frequency.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from .channelizer import PolyphaseChannelizer, pfb_channel_freqs
+from .config import LoRaConfig
+from .io.frames import Frame
+from .ops import xfer
+from .rx.dense import DenseReceiver, DenseResult
+
+
+class WidebandReceiver:
+    """Decode every LoRa channel of a wideband capture on-device.
+
+    ``chan_config``: the per-channel LoRa config; its ``samp_rate`` is the
+    per-channel rate. The wideband input rate is ``num_channels *
+    chan_config.samp_rate``.
+
+    ``active_channels``: optional list of PFB channel indices to decode
+    (default: all). Restricting the set shrinks the candidate pipelines
+    but the PFB always computes the full bank (its cost is independent of
+    the channel count).
+    """
+
+    def __init__(
+        self,
+        chan_config: LoRaConfig,
+        num_channels: int,
+        active_channels: Optional[Sequence[int]] = None,
+        **dense_kwargs,
+    ):
+        self.cfg = chan_config
+        self.M = int(num_channels)
+        self.wide_rate = self.M * chan_config.samp_rate
+        self.pfb = PolyphaseChannelizer.for_lora(
+            self.wide_rate, self.M, chan_config.bandwidth
+        )
+        self.rx = DenseReceiver(chan_config, **dense_kwargs)
+        self.active = (
+            np.arange(self.M)
+            if active_channels is None
+            else np.asarray(list(active_channels), dtype=np.int32)
+        )
+        self.channel_freqs = pfb_channel_freqs(self.wide_rate, self.M)
+        act = tuple(int(a) for a in self.active)
+
+        def process(xf):
+            """packed wideband IQ float32 ``[2, L]`` -> DenseResult
+            ``[n_active, P]``."""
+            x = xfer.unpack_iq(xf)
+            chans = self.pfb(x)  # [M, L//M - K + 1]
+            if len(act) != self.M:
+                chans = chans[np.asarray(act), :]
+            return self.rx.process_complex(chans)
+
+        self.process_fn = process
+        self._process = jax.jit(process)
+
+    # ------------------------------------------------------------------
+    def process(self, x) -> DenseResult:
+        """``x``: host complex wideband IQ ``[L]`` (or packed float32
+        ``[2, L]`` / device array)."""
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+            if np.iscomplexobj(x):
+                x = xfer.pack_iq(x.astype(np.complex64))
+        return self._process(x)
+
+    def run(self, x) -> List[Frame]:
+        """Decode; frames carry the PFB channel index and its frequency."""
+        res = jax.device_get(self.process(x))
+        frames: List[Frame] = []
+        valid = np.asarray(res.valid)
+        from .io.frames import PhyHeader
+
+        for ci in range(valid.shape[0]):
+            for k in np.nonzero(valid[ci])[0]:
+                chan = int(self.active[ci])
+                f = Frame(
+                    phy_header=PhyHeader.from_bytes(bytes(np.asarray(res.hdr)[ci, k])),
+                    payload=bytes(
+                        np.asarray(res.payload)[ci, k][: np.asarray(res.length)[ci, k]]
+                    ),
+                    snr=float(np.asarray(res.snr)[ci, k]),
+                    channel=chan,
+                    sample_index=int(np.asarray(res.start)[ci, k]),
+                )
+                f.tap_header.frequency = int(abs(self.channel_freqs[chan]))
+                f.tap_header.sf = self.cfg.sf
+                frames.append(f)
+        return frames
