@@ -89,6 +89,95 @@ def upchirp_sync_xcorr(windows2, upchirp_ifreq, sps: int, xp=np):
     return idx.astype("int32"), xp.max(corr, axis=-1).astype("float32")
 
 
+def make_fold_dft(downchirp, sps: int, n_bins: int):
+    """Dechirp+fold+DFT as one ``[sps, n_bins]`` complex matrix.
+
+    :func:`fft_shift_idx` only ever uses ``n_bins`` (+ one straddle) of the
+    ``sps`` FFT outputs, so the dechirp multiply, the DFT and the
+    reference's bin fold (lib/decoder_impl.cc:443-456) collapse into a
+    single matrix ``E`` with ``folded_spectrum(w) = w @ E`` — an MXU
+    matmul instead of an FFT. Returns ``(Er, Ei)`` float32 planes.
+    """
+    k = np.arange(sps)
+    h = (n_bins + 1) // 2
+    cols = np.empty((sps, n_bins), np.complex128)
+    for j in range(n_bins):
+        b = j if j < h else sps - n_bins // 2 + (j - h)
+        e = np.exp(-2j * np.pi * k * b / sps)
+        if j == n_bins // 2:
+            e = e + np.exp(-2j * np.pi * k * (n_bins // 2) / sps)
+        cols[:, j] = e
+    E = np.asarray(downchirp)[:, None] * cols
+    return E.real.astype(np.float32), E.imag.astype(np.float32)
+
+
+def fft_shift_idx_mm(windows, fold_mat, xp=np):
+    """:func:`fft_shift_idx` via the precomputed fold-DFT matmul.
+
+    ``windows``: complex ``[..., sps]`` (NOT yet dechirped — the matrix
+    carries the downchirp). Returns int32 ``[...]`` bin indices.
+    """
+    er, ei = fold_mat
+    wr, wi = xp.real(windows), xp.imag(windows)
+    fr = wr @ er - wi @ ei
+    fi = wr @ ei + wi @ er
+    return xp.argmax(fr * fr + fi * fi, axis=-1).astype("int32")
+
+
+def upchirp_sync_coarse_fine(windows2, downchirp, upchirp_ifreq, sps: int,
+                             n_bins: int, decim: int, xp=np, fold_mat=None):
+    """Fast upchirp alignment: dechirp-FFT coarse + small ifreq refine.
+
+    Same contract as :func:`upchirp_sync_xcorr` (``windows2``
+    ``[..., 2*sps]`` starting inside a run of repeated upchirps; returns
+    the sample offset of an upchirp boundary) but O(sps log sps +
+    decim*sps) instead of the O(sps^2) sliding search.
+
+    A window beginning ``d`` samples after a chirp boundary dechirps to a
+    tone at folded bin ``b`` with ``sps - b*decim ~= boundary`` (to within
+    ``decim/2`` + leakage); a +-2*decim ifreq cross-correlation then
+    recovers the exact offset the full search would have found. The
+    returned offset lies in ``[0, sps + 2*decim)`` — an offset past
+    ``sps`` simply syncs one preamble symbol later, which the SFD search
+    budget absorbs.
+    """
+    if fold_mat is not None:
+        b = fft_shift_idx_mm(windows2[..., :sps], fold_mat, xp=xp)
+    else:
+        b = fft_shift_idx(windows2[..., :sps], downchirp, n_bins, sps, xp=xp)
+    d0 = sps - b.astype("int32") * decim  # in [decim, sps]
+    span = 4 * decim + 1
+    ref = xp.asarray(np.asarray(upchirp_ifreq[: sps - 1]))
+    ifr = instantaneous_frequency(windows2, xp=xp)  # [..., 2*sps]
+    base0 = xp.clip(d0 - 2 * decim, 0, 2 * sps - (span + sps - 2))
+
+    if xp is np:
+        base0 = np.atleast_1d(base0)
+        ifr2 = ifr.reshape((-1, ifr.shape[-1]))
+        outs = []
+        for row, bs in zip(ifr2, base0.reshape(-1)):
+            seg = row[bs : bs + span + sps - 2]
+            wins = np.lib.stride_tricks.sliding_window_view(seg, sps - 1)[:span]
+            c = wins @ ref
+            outs.append(bs + np.argmax(c))
+        idx = np.asarray(outs, dtype=np.int32).reshape(b.shape)
+        return idx, None
+
+    import jax
+
+    def one(row, bs):
+        seg = jax.lax.dynamic_slice(row, (bs,), (span + sps - 2,))
+        wins = jnp.stack([jax.lax.dynamic_slice(seg, (k,), (sps - 1,))
+                          for k in range(span)])
+        c = wins @ ref
+        return (bs + jnp.argmax(c)).astype(jnp.int32)
+
+    flat = ifr.reshape((-1, ifr.shape[-1]))
+    bflat = jnp.asarray(base0).reshape(-1)
+    idx = jax.vmap(one)(flat, bflat).reshape(b.shape)
+    return idx, None
+
+
 def downchirp_pearson(window, downchirp_ifreq, sps: int, xp=np):
     """Normalized Pearson correlation with the ideal downchirp ifreq.
 

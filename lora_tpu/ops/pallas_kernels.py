@@ -1,0 +1,113 @@
+"""Pallas TPU kernels for the hot dense-detection path.
+
+The preamble autocorrelation metric (reference ``detect_preamble_autocorr``,
+lib/decoder_impl.cc:340-366, evaluated per-window; here dense over all
+windows) is pure streaming arithmetic: for every symbol-stride window
+``k`` it needs one conj-dot between adjacent windows and per-window
+energies. XLA's fusion still materialises large temporaries (~6 ms for a
+33M-sample block); this kernel computes everything in one pass over VMEM
+tiles — each input element is read once from HBM.
+
+Layout: packed float32 IQ ``[C, 2, L]`` is viewed as ``[C, 2, K1, sps]``
+(K1 = L//sps window rows). Grid = (C, K1//T); each program loads a
+``[2, T, sps]`` tile plus the next tile's first row, computes T window
+dots/energies on the VPU, and writes ``[T]`` outputs.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _det_kernel(a_ref, b_ref, corr_ref, ener_ref):
+    r = a_ref[0, 0, :, :]    # [T, sps]
+    im = a_ref[0, 1, :, :]
+    rn = jnp.concatenate([r[1:], b_ref[0, 0, 0:1, :]], axis=0)
+    imn = jnp.concatenate([im[1:], b_ref[0, 1, 0:1, :]], axis=0)
+    dot_re = jnp.sum(r * rn + im * imn, axis=1)
+    dot_im = jnp.sum(im * rn - r * imn, axis=1)
+    e = jnp.sum(r * r + im * im, axis=1)
+    # NOTE: recomputing the shifted-row energies is intentional — deriving
+    # them by shifting `e` (concat of reduced vectors) trips a Mosaic
+    # layout-inference crash; the extra [T, sps] squares are VPU-cheap.
+    en = jnp.sum(rn * rn + imn * imn, axis=1)
+    denom = jnp.sqrt(e * en)
+    mag = jnp.sqrt(dot_re * dot_re + dot_im * dot_im)
+    corr_ref[0, 0, 0, :] = jnp.where(denom > 0, mag / jnp.where(denom > 0, denom, 1.0), 0.0)
+    ener_ref[0, 0, 0, :] = e
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _det_call(xr, T: int, interpret: bool):
+    C, _, K1, sps = xr.shape
+    nb = K1 // T
+    grid = (C, nb)
+    kernel = pl.pallas_call(
+        _det_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 2, T, sps), lambda c, i: (c, 0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            # first row of the next tile (clamped at the last tile) for the
+            # tile-crossing window; loaded as an 8-row block to satisfy the
+            # (8, 128) f32 tiling constraint
+            pl.BlockSpec(
+                (1, 2, 8, sps),
+                lambda c, i: (c, 0, jnp.minimum((i + 1) * T // 8, K1 // 8 - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            # [C, nb, 1, T] keeps the block's trailing dims equal to the
+            # array's trailing dims (Mosaic tiling constraint); reshaped
+            # to [C, K1] by the caller
+            pl.BlockSpec((1, 1, 1, T), lambda c, i: (c, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), lambda c, i: (c, i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, nb, 1, T), jnp.float32),
+            jax.ShapeDtypeStruct((C, nb, 1, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    corr, ener = kernel(xr, xr)
+    return corr.reshape(C, K1), ener.reshape(C, K1)
+
+
+def detection_metrics_pallas(xf, sps: int, interpret: bool = False):
+    """Single-pass detection metrics on packed IQ ``[..., 2, L]``.
+
+    Returns ``(corr, e1, e2)`` each ``[..., K]`` with ``K = L//sps - 1`` —
+    identical to :func:`lora_tpu.rx.frontend.detection_metrics`.
+    Falls back to the XLA planes path when the geometry doesn't tile
+    (``sps`` not a lane multiple or no T divides the window count).
+    """
+    from ..rx.frontend import detection_metrics_planes
+
+    lead = xf.shape[:-2]
+    L = xf.shape[-1]
+    K1 = L // sps
+    K = K1 - 1
+    if sps % 128 != 0 or K < 1:
+        return detection_metrics_planes(xf, sps)
+    for T in (256, 128, 64, 32, 16, 8):
+        if K1 % T == 0:
+            break
+    else:
+        return detection_metrics_planes(xf, sps)
+
+    C = int(np.prod(lead)) if lead else 1
+    xr = xf[..., : K1 * sps].reshape(C, 2, K1, sps)
+    corr_full, ener = _det_call(xr, T, interpret)
+    corr = corr_full[:, :K].reshape(lead + (K,))
+    e1 = ener[:, :K].reshape(lead + (K,))
+    e2 = ener[:, 1:].reshape(lead + (K,))
+    return corr, e1, e2

@@ -42,7 +42,7 @@ from ..config import LoRaConfig, MAC_CRC_SIZE
 from ..io.frames import Frame, PhyHeader
 from ..ops import bits, decode as dec, demod, xfer
 from ..ops.chirp import build_ideal_chirps, instantaneous_frequency, tiled_upchirp_ifreq
-from .frontend import detection_metrics, candidate_starts
+from .frontend import detection_metrics, detection_metrics_planes, candidate_starts
 
 MAX_PAYLOAD = 260
 
@@ -90,6 +90,13 @@ class DenseReceiver:
         self._up_ifreq = instantaneous_frequency(up)
         self._down_ifreq = instantaneous_frequency(down)
         self._up_ifreq_v = tiled_upchirp_ifreq(config)
+        # fold-DFT matmul replaces the per-window FFT when the matrix fits
+        # comfortably in HBM (the MXU path; see demod.make_fold_dft)
+        self._fold_mat = (
+            demod.make_fold_dft(down, self.sps, self.n_bins)
+            if self.sps * self.n_bins <= 8 * 1024 * 1024
+            else None
+        )
 
         # per-packet region: sync(2) + sfd_search + 2.25 + 8 hdr + S payload
         self.pkt_samples = (self.F + 13 + self.S) * self.sps
@@ -118,6 +125,18 @@ class DenseReceiver:
         """Phase B for one packet region ``[pkt_samples]`` complex64."""
         cfg = self.cfg
         sps = self.sps
+
+        if self.method == "fft":
+            # The fft demod has no per-symbol drift feedback, so every
+            # window position is static given the sync point — the whole
+            # candidate runs as batched kernels instead of sequential
+            # scans, and sync uses the O(sps log sps) dechirp-FFT search
+            # instead of the O(sps^2) sliding correlation.
+            i0, _ = demod.upchirp_sync_coarse_fine(
+                region[: 2 * sps], self._down, self._up_ifreq, sps,
+                self.n_bins, self.decim, xp=jnp, fold_mat=self._fold_mat,
+            )
+            return self._decode_candidate_static(region, i0.astype(jnp.int32))
 
         # --- SYNC: align to upchirp start (reference :770-783) ---
         i0, _ = demod.upchirp_sync_xcorr(region[: 2 * sps], self._up_ifreq, sps, xp=jnp)
@@ -165,6 +184,56 @@ class DenseReceiver:
         _, words = jax.lax.scan(
             dm_step, p_data.astype(jnp.int32), jnp.arange(8 + self.S)
         )  # [8+S]
+        return self._finish_decode(words, sfd_ok)
+
+    def _decode_candidate_static(self, region, i0):
+        """Batched Phase B for the fft engine: no drift feedback, so SFD
+        search and symbol demod run as one-shot batched kernels."""
+        cfg = self.cfg
+        sps = self.sps
+
+        # --- SFD search over F static symbol offsets from the sync point ---
+        sfd_wins = jax.lax.dynamic_slice(region, (i0,), (self.F * sps,)).reshape(
+            self.F, sps
+        )
+        cs = jax.vmap(
+            lambda w: demod.downchirp_pearson(w, self._down_ifreq, sps, xp=jnp)
+        )(sfd_wins)
+        hit = cs > 0.96
+        found = hit.any()
+        first = jnp.argmax(hit).astype(jnp.int32)  # first hit index
+        # fail accounting as in the walk (reference :805-813): a pre-SFD
+        # window that is neither SFD nor still-upchirp counts as a miss
+        before = jnp.arange(self.F) < first
+        fails = jnp.sum(before & ~(cs < -0.97) & ~hit)
+        sfd_ok = found & (fails <= 4)
+        p_found = i0 + first * sps
+
+        # data starts 2.25 symbols after SFD start (reference :816,:822)
+        p_data = p_found + sps + sps + cfg.delay_after_sync
+
+        # --- batched demod: 8 header + S payload symbols, one FFT batch ---
+        nsym = 8 + self.S
+        wins = jax.lax.dynamic_slice(region, (p_data,), (nsym * sps,)).reshape(
+            nsym, sps
+        )
+        if self._fold_mat is not None:
+            b_full = demod.fft_shift_idx_mm(wins, self._fold_mat, xp=jnp)
+        else:
+            b_full = jax.vmap(
+                lambda w: demod.fft_shift_idx(w, self._down, self.n_bins, sps, xp=jnp)
+            )(wins)
+        b_full = (b_full - 1) % self.n_bins  # fft->gradient bin convention
+        is_hdr = jnp.arange(nsym) < 8
+        reduced = is_hdr if not cfg.reduced_rate else jnp.bool_(True)
+        b_red = jnp.floor(b_full / 4.0 + 0.5).astype(jnp.int32) % cfg.number_of_bins_hdr
+        b = jnp.where(reduced, b_red, b_full)
+        words = b ^ (b >> 1)
+        return self._finish_decode(words, sfd_ok)
+
+    def _finish_decode(self, words, sfd_ok):
+        """Shared tail: header parse + payload decode from ``[8+S]`` words."""
+        cfg = self.cfg
 
         # --- header decode ---
         ppm_hdr = cfg.sf - 2
@@ -222,17 +291,28 @@ class DenseReceiver:
             (Packed input keeps complex64 off the host<->device boundary;
             see :mod:`lora_tpu.ops.xfer`.)
             """
-            return self.process_complex(xfer.unpack_iq(xf))
+            metrics = None
+            if not self.cfg.conj:
+                if jax.default_backend() == "tpu":
+                    from ..ops.pallas_kernels import detection_metrics_pallas
+
+                    metrics = detection_metrics_pallas(xf, self.sps)
+                else:
+                    metrics = detection_metrics_planes(xf, self.sps)
+            return self.process_complex(xfer.unpack_iq(xf), metrics=metrics)
 
         return process
 
-    def process_complex(self, x):
+    def process_complex(self, x, metrics=None):
         """Trace-time core on complex IQ ``[..., L]`` — call inside jit
-        (e.g. fused behind an on-device channelizer)."""
+        (e.g. fused behind an on-device channelizer). ``metrics``: optional
+        precomputed ``(corr, e1, e2)`` detection metrics (the packed-input
+        entry uses the single-pass Pallas kernel)."""
         sps = self.sps
         if self.cfg.conj:
             x = jnp.conj(x)
-        corr, e1, e2 = detection_metrics(x, sps)
+            metrics = None
+        corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
         starts, s_valid = candidate_starts(corr, 0.90, self.P)  # [..., P]
         # Decode from one window past the rising edge: the edge window
         # may begin slightly before the preamble (leading silence skews

@@ -40,6 +40,30 @@ def detection_metrics(x, sps: int):
     return corr.astype(jnp.float32), e1.astype(jnp.float32), e2.astype(jnp.float32)
 
 
+def detection_metrics_planes(xf, sps: int):
+    """:func:`detection_metrics` on packed float32 IQ ``[..., 2, L]``.
+
+    Operating on the real/imag planes directly (instead of a complex64
+    array) keeps the whole computation in float32 elementwise+reduce form
+    that XLA fuses into segment reductions without materialising
+    complex intermediates — the packed input is read O(1) times.
+    """
+    L = xf.shape[-1]
+    K = L // sps - 1
+    r = xf[..., 0, : (K + 1) * sps].reshape(xf.shape[:-2] + (K + 1, sps))
+    i = xf[..., 1, : (K + 1) * sps].reshape(xf.shape[:-2] + (K + 1, sps))
+    # dot[k] = sum_t x[k,t] * conj(x[k+1,t])
+    dot_re = jnp.sum(r[..., :-1, :] * r[..., 1:, :] + i[..., :-1, :] * i[..., 1:, :], axis=-1)
+    dot_im = jnp.sum(i[..., :-1, :] * r[..., 1:, :] - r[..., :-1, :] * i[..., 1:, :], axis=-1)
+    eners = jnp.sum(r * r + i * i, axis=-1)  # [..., K+1]
+    e1 = eners[..., :K]
+    e2 = eners[..., 1:]
+    denom = jnp.sqrt(e1 * e2)
+    mag = jnp.sqrt(dot_re * dot_re + dot_im * dot_im)
+    corr = jnp.where(denom > 0, mag / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return corr.astype(jnp.float32), e1.astype(jnp.float32), e2.astype(jnp.float32)
+
+
 def candidate_starts(corr, threshold: float, max_candidates: int):
     """Rising-edge packet-start candidates from the dense metric.
 
