@@ -120,6 +120,7 @@ class Frame:
     tap_header: LoRaTapHeader = field(default_factory=LoRaTapHeader)
     channel: int = 0                    # channel index (multi-channel TPU rx)
     sample_index: int = -1              # stream position where decode finished
+    cfo: float = 0.0                    # estimated carrier freq offset (Hz)
 
     def __post_init__(self):
         self.tap_header.snr = snr_to_loratap(self.snr)

@@ -89,6 +89,36 @@ def upchirp_sync_xcorr(windows2, upchirp_ifreq, sps: int, xp=np):
     return idx.astype("int32"), xp.max(corr, axis=-1).astype("float32")
 
 
+def preamble_cfo(x2, sps: int, samp_rate: float, xp=np):
+    """Carrier-frequency-offset estimate from two adjacent preamble symbols.
+
+    ``x2``: complex ``[..., 2*sps]`` aligned at an upchirp boundary inside
+    the preamble. A CFO of ``f`` rotates symbol ``k+1`` relative to symbol
+    ``k`` by ``2*pi*f*sps/fs``, so ``angle(sum x[t+sps]*conj(x[t]))``
+    recovers ``f`` exactly within the unambiguous range
+    ``+-fs/(2*sps) = +-bw/(2*2^sf)`` — the *residual* CFO tracker for the
+    post-channelization control loop (larger offsets are absorbed by the
+    demod bin shift / channelizer retune, as in the reference, whose own
+    estimator ``experimental_determine_cfo`` (lib/decoder_impl.cc:729-738)
+    is a noisy single-sample probe with the same wrap). Feeds the
+    ``("cfo", value)`` control path (lib/controller_impl.cc:52-57).
+    """
+    a = x2[..., :sps]
+    b = x2[..., sps : 2 * sps]
+    d = xp.sum(b * xp.conj(a), axis=-1)
+    ang = xp.arctan2(xp.imag(d), xp.real(d))
+    return (ang / (2.0 * np.pi * sps) * samp_rate).astype("float32")
+
+
+def determine_cfo_dechirp(window, downchirp, samp_rate: float, xp=np):
+    """Reference-parity CFO probe: dechirped ifreq sample at index 256
+    scaled by ``fs/2pi`` (lib/decoder_impl.cc:729-738, unused publisher)."""
+    mult = window * downchirp
+    ifr = instantaneous_frequency(mult, xp=xp)
+    idx = min(256, ifr.shape[-1] - 1)
+    return (ifr[..., idx] / (2.0 * np.pi) * samp_rate).astype("float32")
+
+
 def make_fold_dft(downchirp, sps: int, n_bins: int):
     """Dechirp+fold+DFT as one ``[sps, n_bins]`` complex matrix.
 

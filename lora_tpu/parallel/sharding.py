@@ -95,6 +95,7 @@ def time_sharded_process(receiver: DenseReceiver, mesh: Mesh,
             hdr=res.hdr[None],
             snr=res.snr[None],
             start=res.start[None],
+            cfo=res.cfo[None],
         )
 
     sm = shard_map(
@@ -102,7 +103,7 @@ def time_sharded_process(receiver: DenseReceiver, mesh: Mesh,
         in_specs=P(None, axis),
         out_specs=DenseResult(
             valid=P(axis), payload=P(axis), length=P(axis),
-            hdr=P(axis), snr=P(axis), start=P(axis),
+            hdr=P(axis), snr=P(axis), start=P(axis), cfo=P(axis),
         ),
         # the dense pipeline's internal scans mix device-varying data with
         # unvarying constants; skip the varying-manual-axes check

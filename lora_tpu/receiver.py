@@ -46,8 +46,10 @@ class LoRaReceiver:
         disable_channelization: bool = False,
         disable_drift_correction: bool = False,
         engine: str = "golden",
+        auto_cfo: bool = False,
         **engine_kwargs,
     ):
+        self.auto_cfo = auto_cfo
         self.samp_rate = samp_rate
         self.center_freq = center_freq
         self.channel_list = list(channel_list) if channel_list else [center_freq]
@@ -129,6 +131,11 @@ class LoRaReceiver:
                 for f in dec.run(np.asarray(s)):
                     f.channel = ci
                     frames.append(f)
+        if self.auto_cfo and frames:
+            # close the reference's decoder->controller->channelizer loop
+            # (python/lora_receiver.py:66, lib/controller_impl.cc:52-57):
+            # retune the mixer by the median frame CFO for the next capture
+            self.apply_cfo(float(np.median([f.cfo for f in frames])))
         return frames
 
     # ---- reference API surface (python/lora_receiver.py:80-97) --------

@@ -56,6 +56,7 @@ class DenseResult(NamedTuple):
     hdr: jnp.ndarray          # uint8[..., P, 3] phy header bytes
     snr: jnp.ndarray          # f32[..., P]
     start: jnp.ndarray        # int32[..., P] packet start sample in block
+    cfo: jnp.ndarray          # f32[..., P] carrier frequency offset (Hz)
 
 
 class DenseReceiver:
@@ -140,6 +141,10 @@ class DenseReceiver:
 
         # --- SYNC: align to upchirp start (reference :770-783) ---
         i0, _ = demod.upchirp_sync_xcorr(region[: 2 * sps], self._up_ifreq, sps, xp=jnp)
+        cfo = demod.preamble_cfo(
+            jax.lax.dynamic_slice(region, (i0.astype(jnp.int32),), (2 * sps,)),
+            sps, cfg.samp_rate, xp=jnp,
+        )
 
         # --- FIND_SFD walk (reference :785-818) ---
         def sfd_step(carry, k):
@@ -184,13 +189,17 @@ class DenseReceiver:
         _, words = jax.lax.scan(
             dm_step, p_data.astype(jnp.int32), jnp.arange(8 + self.S)
         )  # [8+S]
-        return self._finish_decode(words, sfd_ok)
+        return self._finish_decode(words, sfd_ok) + (cfo,)
 
     def _decode_candidate_static(self, region, i0):
         """Batched Phase B for the fft engine: no drift feedback, so SFD
         search and symbol demod run as one-shot batched kernels."""
         cfg = self.cfg
         sps = self.sps
+        cfo = demod.preamble_cfo(
+            jax.lax.dynamic_slice(region, (i0,), (2 * sps,)),
+            sps, cfg.samp_rate, xp=jnp,
+        )
 
         # --- SFD search over F static symbol offsets from the sync point ---
         sfd_wins = jax.lax.dynamic_slice(region, (i0,), (self.F * sps,)).reshape(
@@ -229,7 +238,7 @@ class DenseReceiver:
         b_red = jnp.floor(b_full / 4.0 + 0.5).astype(jnp.int32) % cfg.number_of_bins_hdr
         b = jnp.where(reduced, b_red, b_full)
         words = b ^ (b >> 1)
-        return self._finish_decode(words, sfd_ok)
+        return self._finish_decode(words, sfd_ok) + (cfo,)
 
     def _finish_decode(self, words, sfd_ok):
         """Shared tail: header parse + payload decode from ``[8+S]`` words."""
@@ -340,7 +349,7 @@ class DenseReceiver:
         fn = jax.vmap(fn, in_axes=(None, 0))
         for _ in range(x.ndim - 1):
             fn = jax.vmap(fn, in_axes=(0, 0))
-        ok, pay, plen, hdr = fn(xp_, starts)
+        ok, pay, plen, hdr, cfo = fn(xp_, starts)
         return DenseResult(
             valid=ok & s_valid,
             payload=pay,
@@ -348,6 +357,7 @@ class DenseReceiver:
             hdr=hdr,
             snr=snr.astype(jnp.float32),
             start=starts * sps,
+            cfo=cfo,
         )
 
     # ------------------------------------------------------------------
@@ -370,6 +380,7 @@ class DenseReceiver:
         hdr = res.hdr.reshape(valid.shape + (3,))
         snr = res.snr.reshape(valid.shape)
         start = res.start.reshape(valid.shape)
+        cfo = res.cfo.reshape(valid.shape)
         for c in range(valid.shape[0]):
             for k in range(valid.shape[1]):
                 if not valid[c, k]:
@@ -381,6 +392,7 @@ class DenseReceiver:
                         snr=float(snr[c, k]),
                         channel=c + channel_offset,
                         sample_index=int(start[c, k]),
+                        cfo=float(cfo[c, k]),
                     )
                 )
         return frames

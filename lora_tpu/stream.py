@@ -180,6 +180,7 @@ class StreamingReceiver:
                     snr=float(np.asarray(r.snr)[0, k]),
                     channel=0,
                     sample_index=abs_start,
+                    cfo=float(np.asarray(r.cfo)[0, k]),
                 )
                 self._frames.append(f)
                 for s in self.sinks:

@@ -102,6 +102,7 @@ class WidebandReceiver:
                     snr=float(np.asarray(res.snr)[ci, k]),
                     channel=chan,
                     sample_index=int(np.asarray(res.start)[ci, k]),
+                    cfo=float(np.asarray(res.cfo)[ci, k]),
                 )
                 f.tap_header.frequency = int(abs(self.channel_freqs[chan]))
                 f.tap_header.sf = self.cfg.sf
