@@ -73,6 +73,11 @@ class LoRaConfig:
             raise ValueError(f"spreading factor must be in [6, 13], got {self.sf}")
         if not (1 <= self.cr <= 4):
             raise ValueError(f"coding rate index must be in [1, 4], got {self.cr}")
+        if self.sf == 6 and not self.implicit:
+            # real LoRa SF6 is implicit-header only; the reference's explicit
+            # SF6 path indexes past the ppm=4 deinterleave rows (see README
+            # conformance notes) — reject instead of corrupting
+            raise ValueError("SF6 requires implicit-header mode")
         if self.samples_per_symbol % self.number_of_bins != 0:
             raise ValueError(
                 "samp_rate must yield an integer decimation factor: "

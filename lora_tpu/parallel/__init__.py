@@ -10,4 +10,5 @@ from .sharding import (  # noqa: F401
     make_mesh,
     channel_sharded_process,
     time_sharded_process,
+    wideband_time_sharded_process,
 )

@@ -110,3 +110,56 @@ def time_sharded_process(receiver: DenseReceiver, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(sm)
+
+
+def wideband_time_sharded_process(wideband, mesh: Mesh, axis: str = "dev",
+                                  halo_channel_samples: Optional[int] = None):
+    """Time-shard a *wideband* capture: each device channelizes and decodes
+    its own block, with a right-halo exchanged over ICI.
+
+    ``wideband``: a :class:`lora_tpu.wideband.WidebandReceiver`. Input is
+    one packed wideband stream ``xf: [2, L]`` (``L`` divisible by
+    ``n_dev * M``). Each device runs the polyphase filterbank on its local
+    block + halo — channelization is local (the PFB is a sliding FIR, so
+    overlap-save applies at the wideband rate) and the only communication
+    is the halo ``ppermute``. Result leading axis = device/block; per
+    result ``start`` is channel-rate samples relative to the local block.
+    """
+    n_dev = mesh.shape[axis]
+    M = wideband.M
+    rx = wideband.rx
+    if halo_channel_samples is None:
+        halo_channel_samples = rx.pkt_samples
+    # wideband halo: packet region at channel rate, scaled to the wideband
+    # rate, plus the PFB's filter tail (K polyphase frames)
+    halo = (int(halo_channel_samples) + wideband.pfb.K + 1) * M
+
+    def local_fn(xb):
+        head = jax.lax.dynamic_slice_in_dim(xb, 0, min(halo, xb.shape[-1]), axis=-1)
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        from_right = jax.lax.ppermute(head, axis, perm)
+        ext = jnp.concatenate([xb, from_right], axis=-1)
+        x = jax.lax.complex(ext[0], ext[1])
+        chans = wideband.pfb(x)  # [M, (Lb + halo)/M - K + 1]
+        res = rx.process_complex(chans)
+        own = res.start < (xb.shape[-1] // M)
+        return DenseResult(
+            valid=(res.valid & own)[None],
+            payload=res.payload[None],
+            length=res.length[None],
+            hdr=res.hdr[None],
+            snr=res.snr[None],
+            start=res.start[None],
+            cfo=res.cfo[None],
+        )
+
+    sm = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=DenseResult(
+            valid=P(axis), payload=P(axis), length=P(axis),
+            hdr=P(axis), snr=P(axis), start=P(axis), cfo=P(axis),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sm)

@@ -94,10 +94,10 @@ def test_no_crc():
 
 
 def test_sf6_requires_implicit():
-    cfg = LoRaConfig(sf=6, cr=4, samp_rate=1e6, crc=True)
+    # explicit SF6 is rejected at config construction (README conformance)
     with pytest.raises(ValueError):
-        roundtrip(cfg, DEADBEEF)
-    cfg_imp = cfg.replace(implicit=True)
+        LoRaConfig(sf=6, cr=4, samp_rate=1e6, crc=True)
+    cfg_imp = LoRaConfig(sf=6, cr=4, samp_rate=1e6, crc=True, implicit=True)
     frames = roundtrip(cfg_imp, DEADBEEF)
     assert len(frames) == 1 and frames[0].mac_payload.startswith(DEADBEEF)
 
