@@ -19,6 +19,66 @@ import time
 import numpy as np
 
 
+def main_wideband(n_channels: int = 1024):
+    """Secondary benchmark: whole-band receive at scale.
+
+    One wideband capture at ``n_channels * 250 ksps`` is channelized by
+    the on-device PFB and decoded with the global candidate pool
+    (``python bench.py --wideband``). The reference decodes exactly one
+    channel (README.md:10-14).
+    """
+    import jax
+    from lora_tpu import LoRaConfig
+    from lora_tpu.wideband import WidebandReceiver
+    from lora_tpu.channelizer import pfb_channel_freqs
+    from lora_tpu.tx.modulator import modulate_frame
+    from lora_tpu.ops.xfer import pack_iq
+
+    M = n_channels
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
+    wide_rate = M * cfg.samp_rate
+    wide_cfg = LoRaConfig(sf=7, cr=4, samp_rate=wide_rate, crc=True)
+    L = M * 96 * cfg.samples_per_symbol
+    rng = np.random.default_rng(0)
+    x = (rng.normal(0, 1e-3, (L, 2)).astype(np.float32)
+         @ np.array([1, 1j], np.complex64)).astype(np.complex64)
+    freqs = pfb_channel_freqs(wide_rate, M)
+    pkt = modulate_frame(wide_cfg, b"\xde\xad\xbe\xef", snr_db=None)
+    active = list(range(0, M, max(1, M // 64)))
+    tpk = np.arange(len(pkt))
+    for c in active:
+        pos = min((8 + (c % 7)) * cfg.samples_per_symbol * M // 8,
+                  L - len(pkt) - 1)
+        x[pos:pos + len(pkt)] += (
+            pkt * np.exp(2j * np.pi * freqs[c] / wide_rate * (tpk + pos))
+        ).astype(np.complex64)
+    xd = jax.device_put(pack_iq(x))
+    wr = WidebandReceiver(cfg, M, pool=2 * len(active), max_candidates=2,
+                          max_symbols=24, sfd_search=12, demod_method="fft")
+    res = wr.process(xd)
+    v = np.asarray(jax.device_get(res.valid))
+    pay = np.asarray(jax.device_get(res.payload))
+    ch = np.asarray(jax.device_get(res.channel))
+    good = {int(ch[g]) for g in np.nonzero(v)[0]
+            if bytes(pay[g][:4]) == b"\xde\xad\xbe\xef"}
+    if len(good) < len(active):
+        print(f"WARNING: decoded {len(good)}/{len(active)} channels",
+              file=sys.stderr)
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        res = wr.process(xd)
+    np.asarray(res.valid)
+    dt = (time.perf_counter() - t0) / iters
+    msps = L / dt / 1e6
+    print(json.dumps({
+        "metric": f"wideband_{M}ch_throughput",
+        "value": round(msps, 1),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / 1.0, 1),
+    }))
+
+
 def main():
     import jax
     from lora_tpu import LoRaConfig
@@ -98,4 +158,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--wideband" in sys.argv:
+        sys.argv.remove("--wideband")
+        main_wideband(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
+    else:
+        main()

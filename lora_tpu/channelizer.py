@@ -133,11 +133,18 @@ class PolyphaseChannelizer:
 
     @classmethod
     def for_lora(cls, samp_rate: float, num_channels: int, bandwidth: float = 125e3):
-        """Prototype filter per the reference channel spec at the decimated
-        rate: cutoff bw/2+15k, transition 10k (scaled to stay reasonable)."""
+        """Prototype filter per the reference channel spec, with the
+        transition width scaled to the channel spacing.
+
+        Cutoff matches the reference (``bw/2 + 15k``); transition is
+        ``spacing/4`` so the stopband begins just past the neighbouring
+        channel's guard band — ~5 polyphase taps per branch instead of the
+        reference's 10 kHz transition (which at wideband rates produces
+        tens of thousands of taps for no decode benefit)."""
+        spacing = samp_rate / num_channels
         taps = firdes_low_pass(
             1.0, samp_rate, bandwidth / 2.0 + 15000.0,
-            max(10000.0, samp_rate / num_channels / 8.0),
+            max(10000.0, spacing / 4.0),
         )
         return cls(num_channels, taps)
 

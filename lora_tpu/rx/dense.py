@@ -59,6 +59,24 @@ class DenseResult(NamedTuple):
     cfo: jnp.ndarray          # f32[..., P] carrier frequency offset (Hz)
 
 
+class PooledResult(NamedTuple):
+    """Global-candidate-pool result: flat ``[G]`` arrays + channel index.
+
+    For many-channel blocks, Phase B capacity should scale with the
+    *aggregate* packet load, not ``channels x per-channel capacity`` —
+    candidates from all channels are compacted into one fixed pool of
+    ``G`` decode lanes (SURVEY.md §7: gather-to-fixed-capacity)."""
+
+    valid: jnp.ndarray        # bool[G]
+    channel: jnp.ndarray      # int32[G] source channel of each lane
+    payload: jnp.ndarray      # uint8[G, MAX_PAYLOAD]
+    length: jnp.ndarray       # int32[G]
+    hdr: jnp.ndarray          # uint8[G, 3]
+    snr: jnp.ndarray          # f32[G]
+    start: jnp.ndarray        # int32[G] start sample within the channel
+    cfo: jnp.ndarray          # f32[G]
+
+
 class DenseReceiver:
     """Block-based multi-packet receiver for one static config.
 
@@ -357,6 +375,70 @@ class DenseReceiver:
             hdr=hdr,
             snr=snr.astype(jnp.float32),
             start=starts * sps,
+            cfo=cfo,
+        )
+
+    def process_pooled(self, x, pool: int, per_channel: int = 4,
+                       metrics=None) -> PooledResult:
+        """Trace-time many-channel core with a global candidate pool.
+
+        ``x``: complex ``[C, L]``. Per channel, up to ``per_channel``
+        rising-edge candidates are extracted; the first ``pool`` valid
+        candidates across ALL channels are compacted into ``pool`` decode
+        lanes. Phase B cost is O(pool), independent of the channel count —
+        the right scaling for thousand-channel blocks where most channels
+        are idle at any instant. Overflowing candidates (beyond ``pool``)
+        are dropped; size ``pool`` for the worst-case aggregate packet
+        arrival rate per block.
+        """
+        sps = self.sps
+        C = x.shape[0]
+        if self.cfg.conj:
+            x = jnp.conj(x)
+            metrics = None
+        corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
+        starts, s_valid = candidate_starts(corr, 0.90, per_channel)  # [C, Pc]
+        starts = starts + 1  # see process_complex
+
+        # compact: strongest `pool` valid (channel, window) pairs. Ranking
+        # by window energy (not arrival order) matters: the normalized
+        # autocorrelation metric is scale-invariant, so a strong packet's
+        # PFB-sidelobe leakage raises candidates on neighbouring idle
+        # channels too — those leaked copies are tens of dB weaker and
+        # must not crowd real packets out of the pool (they also fail to
+        # decode: the sidelobe filtering destroys the chirp structure).
+        cand_e = jnp.take_along_axis(
+            e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1
+        )  # [C, Pc]
+        flat_valid = s_valid.reshape(-1)
+        score = jnp.where(flat_valid, cand_e.reshape(-1), -1.0)
+        order = jnp.argsort(-score)[:pool]
+        chan = (order // per_channel).astype(jnp.int32)
+        win = starts.reshape(-1)[order]
+        lane_valid = flat_valid[order]
+
+        noise = jnp.min(e1, axis=-1)  # [C]
+        sig = score[order]
+        snr = sig / jnp.maximum(noise[chan], 1e-30)
+
+        pad = jnp.zeros((C, self.pkt_samples), x.dtype)
+        xp_ = jnp.concatenate([x, pad], axis=-1)
+
+        def per_lane(ch, w):
+            region = jax.lax.dynamic_slice(
+                xp_, (ch, w * sps), (1, self.pkt_samples)
+            )[0]
+            return self._decode_candidate(region)
+
+        ok, pay, plen, hdr, cfo = jax.vmap(per_lane)(chan, win)
+        return PooledResult(
+            valid=ok & lane_valid,
+            channel=chan,
+            payload=pay,
+            length=plen,
+            hdr=hdr,
+            snr=snr.astype(jnp.float32),
+            start=win * sps,
             cfo=cfo,
         )
 

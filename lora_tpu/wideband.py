@@ -45,6 +45,7 @@ class WidebandReceiver:
         chan_config: LoRaConfig,
         num_channels: int,
         active_channels: Optional[Sequence[int]] = None,
+        pool: Optional[int] = None,
         **dense_kwargs,
     ):
         self.cfg = chan_config
@@ -54,6 +55,7 @@ class WidebandReceiver:
             self.wide_rate, self.M, chan_config.bandwidth
         )
         self.rx = DenseReceiver(chan_config, **dense_kwargs)
+        self.pool = pool
         self.active = (
             np.arange(self.M)
             if active_channels is None
@@ -64,11 +66,15 @@ class WidebandReceiver:
 
         def process(xf):
             """packed wideband IQ float32 ``[2, L]`` -> DenseResult
-            ``[n_active, P]``."""
+            ``[n_active, P]`` (or PooledResult ``[pool]`` when ``pool``
+            is set — the scaling mode for hundreds/thousands of
+            channels)."""
             x = xfer.unpack_iq(xf)
             chans = self.pfb(x)  # [M, L//M - K + 1]
             if len(act) != self.M:
                 chans = chans[np.asarray(act), :]
+            if self.pool is not None:
+                return self.rx.process_pooled(chans, self.pool)
             return self.rx.process_complex(chans)
 
         self.process_fn = process
@@ -90,6 +96,24 @@ class WidebandReceiver:
         frames: List[Frame] = []
         valid = np.asarray(res.valid)
         from .io.frames import PhyHeader
+
+        if self.pool is not None:  # PooledResult: flat [G] lanes
+            for g in np.nonzero(valid)[0]:
+                chan = int(self.active[int(np.asarray(res.channel)[g])])
+                f = Frame(
+                    phy_header=PhyHeader.from_bytes(bytes(np.asarray(res.hdr)[g])),
+                    payload=bytes(
+                        np.asarray(res.payload)[g][: np.asarray(res.length)[g]]
+                    ),
+                    snr=float(np.asarray(res.snr)[g]),
+                    channel=chan,
+                    sample_index=int(np.asarray(res.start)[g]),
+                    cfo=float(np.asarray(res.cfo)[g]),
+                )
+                f.tap_header.frequency = int(abs(self.channel_freqs[chan]))
+                f.tap_header.sf = self.cfg.sf
+                frames.append(f)
+            return frames
 
         for ci in range(valid.shape[0]):
             for k in np.nonzero(valid[ci])[0]:
