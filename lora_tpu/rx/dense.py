@@ -21,12 +21,12 @@ Demod methods:
   no transcendentals, MXU/FFT-friendly; bin convention shifted by +1 vs the
   gradient method (compensated here), no drift correction.
 
-Scope notes: explicit-header packets (implicit mode's energy-stop needs the
-running threshold of the sequential receiver — use
-:class:`lora_tpu.rx.receiver.JaxReceiver` for implicit parity decode).
-Packets starting within the last ``max_packet_samples`` of a block need the
-following (overlapping) block — halo handling lives in
-:mod:`lora_tpu.parallel`.
+Scope notes: the fft engine supports explicit and implicit headers
+(implicit energy-stop evaluated on the static window grid); the gradient
+engine is explicit-only (use :class:`lora_tpu.rx.receiver.JaxReceiver`
+for gradient-parity implicit decode). Packets starting within the last
+``max_packet_samples`` of a block need the following (overlapping) block
+— halo handling lives in :mod:`lora_tpu.parallel` / `lora_tpu.stream`.
 """
 
 from __future__ import annotations
@@ -93,8 +93,12 @@ class DenseReceiver:
         sfd_search: int = 12,
         demod_method: str = "gradient",
     ):
-        if config.implicit:
-            raise ValueError("dense mode requires explicit headers")
+        if config.implicit and demod_method != "fft":
+            raise ValueError(
+                "dense implicit mode requires the fft engine (energy-stop "
+                "is evaluated on the static window grid); use the parity "
+                "engine for gradient-method implicit decode"
+            )
         self.cfg = config
         self.P = max_candidates
         self.S = max_symbols
@@ -256,7 +260,57 @@ class DenseReceiver:
         b_red = jnp.floor(b_full / 4.0 + 0.5).astype(jnp.int32) % cfg.number_of_bins_hdr
         b = jnp.where(reduced, b_red, b_full)
         words = b ^ (b >> 1)
+        if cfg.implicit:
+            # energy-stop end-of-frame (reference :861-864): threshold is
+            # half the preamble-window energy (set in DETECT, :356-357)
+            pre = jax.lax.dynamic_slice(region, (i0,), (sps,))
+            thr = jnp.sum(jnp.real(pre) ** 2 + jnp.imag(pre) ** 2) / 2.0
+            e_sym = jnp.sum(
+                jnp.real(wins) ** 2 + jnp.imag(wins) ** 2, axis=-1
+            )  # [nsym]
+            below = e_sym < thr
+            ended = below.any()
+            n_data = jnp.where(ended, jnp.argmax(below), nsym).astype(jnp.int32)
+            return self._finish_decode_implicit(words, sfd_ok & ended, n_data) + (cfo,)
         return self._finish_decode(words, sfd_ok) + (cfo,)
+
+    def _finish_decode_implicit(self, words, ok, n_data):
+        """Implicit-header tail: no header parse; the first 8 (reduced)
+        symbols are payload; payload length comes from the energy-stop
+        symbol count (reference DECODE_PAYLOAD implicit branch :861-866,
+        payload_length = demodulated_nibbles/2)."""
+        cfg = self.cfg
+        cr = cfg.cr
+        ppm_hdr = cfg.sf - 2
+        ppm_pay = cfg.sf - 2 if cfg.reduced_rate else cfg.sf
+        blk = 4 + cr
+
+        hdr_rows = dec.deinterleave_words(
+            words[:8].astype(jnp.int32), jnp.int32(8), ppm_hdr, xp=jnp
+        )  # [ppm_hdr] — all payload nibble codewords in implicit mode
+        n_static = self.S // blk
+        w = words[8 : 8 + n_static * blk].astype(jnp.int32).reshape(n_static, blk)
+        pay_rows = dec.deinterleave_words(w, jnp.int32(blk), ppm_pay, xp=jnp).reshape(-1)
+        codewords = jnp.concatenate([hdr_rows, pay_rows])
+
+        n_blocks = jnp.maximum(n_data - 8, 0) // blk
+        n_cw = ppm_hdr + n_blocks * ppm_pay
+        paylen = n_cw // 2
+        decoded = dec.decode_payload(codewords, n_cw, jnp.int32(cr), xp=jnp)
+        pay = jnp.zeros(MAX_PAYLOAD, jnp.uint8)
+        m = min(MAX_PAYLOAD, decoded.shape[-1])
+        pay = pay.at[:m].set(
+            jnp.where(jnp.arange(m) < paylen, decoded[:m], 0).astype(jnp.uint8)
+        )
+        # synthesize the phy header from config (the reference publishes its
+        # constructor-initialised d_phdr for implicit frames)
+        hdr_bytes = jnp.stack([
+            paylen.astype(jnp.uint8),
+            jnp.uint8(((1 if cfg.crc else 0) << 4) | ((cr & 0x7) << 5)),
+            jnp.uint8(0),
+        ])
+        ok = ok & (n_data >= 8) & (paylen <= MAX_PAYLOAD)
+        return ok, pay, paylen.astype(jnp.int32), hdr_bytes
 
     def _finish_decode(self, words, sfd_ok):
         """Shared tail: header parse + payload decode from ``[8+S]`` words."""
