@@ -363,6 +363,28 @@ class DenseReceiver:
         )
 
     # ------------------------------------------------------------------
+    def _region_from(self, stream, start):
+        """Packet region ``[pkt_samples]`` starting at sample ``start``.
+
+        ``stream``: complex ``[L]`` (or packed float32 ``[2, L]``; the
+        leading plane axis is carried through). Samples past the end of
+        the stream read as zero — semantically identical to padding the
+        whole block, but only ``pkt_samples`` are ever touched, so the
+        full-block pad copy (2x the input HBM traffic) never happens.
+        """
+        pkt = self.pkt_samples
+        L = stream.shape[-1]
+        if L < pkt:  # block shorter than one packet region: pad up
+            cfgp = [(0, 0)] * (stream.ndim - 1) + [(0, pkt - L)]
+            stream = jnp.pad(stream, cfgp)
+            L = pkt
+        start = start.astype(jnp.int32)
+        start_c = jnp.clip(start, 0, L - pkt)
+        raw = jax.lax.dynamic_slice_in_dim(stream, start_c, pkt, axis=-1)
+        shift = start - start_c  # >0 only for candidates near the tail
+        region = jnp.roll(raw, -shift, axis=-1)
+        return jnp.where(jnp.arange(pkt) < pkt - shift, region, 0)
+
     def _build(self):
         sps = self.sps
 
@@ -370,17 +392,46 @@ class DenseReceiver:
             """``xf``: packed IQ float32 ``[..., 2, L]`` -> DenseResult.
 
             (Packed input keeps complex64 off the host<->device boundary;
-            see :mod:`lora_tpu.ops.xfer`.)
+            see :mod:`lora_tpu.ops.xfer`.) Lane regions are gathered
+            straight from the packed planes — the full-block complex
+            array is never materialised.
             """
-            metrics = None
-            if not self.cfg.conj:
-                if jax.default_backend() == "tpu":
-                    from ..ops.pallas_kernels import detection_metrics_pallas
+            if self.cfg.conj:
+                return self.process_complex(xfer.unpack_iq(xf))
+            if jax.default_backend() == "tpu":
+                from ..ops.pallas_kernels import detection_metrics_pallas
 
-                    metrics = detection_metrics_pallas(xf, self.sps)
-                else:
-                    metrics = detection_metrics_planes(xf, self.sps)
-            return self.process_complex(xfer.unpack_iq(xf), metrics=metrics)
+                metrics = detection_metrics_pallas(xf, self.sps)
+            else:
+                metrics = detection_metrics_planes(xf, self.sps)
+            corr, e1, e2 = metrics
+            starts, s_valid = candidate_starts(corr, 0.90, self.P)
+            starts = starts + 1  # see process_complex
+            noise = jnp.min(e1, axis=-1, keepdims=True)
+            sig = jnp.take_along_axis(
+                e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1
+            )
+            snr = sig / jnp.maximum(noise, 1e-30)
+
+            def per_candidate(planes, start_win):
+                raw = self._region_from(planes, start_win * sps)  # [2, pkt]
+                return self._decode_candidate(
+                    jax.lax.complex(raw[0], raw[1])
+                )
+
+            fn = jax.vmap(per_candidate, in_axes=(None, 0))
+            for _ in range(xf.ndim - 2):
+                fn = jax.vmap(fn, in_axes=(0, 0))
+            ok, pay, plen, hdr, cfo = fn(xf, starts)
+            return DenseResult(
+                valid=ok & s_valid,
+                payload=pay,
+                length=plen,
+                hdr=hdr,
+                snr=snr.astype(jnp.float32),
+                start=starts * sps,
+                cfo=cfo,
+            )
 
         return process
 
@@ -407,21 +458,17 @@ class DenseReceiver:
         sig = jnp.take_along_axis(e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1)
         snr = sig / jnp.maximum(noise, 1e-30)
 
-        pad = jnp.zeros(x.shape[:-1] + (self.pkt_samples,), x.dtype)
-        xp_ = jnp.concatenate([x, pad], axis=-1)
-
         def per_candidate(stream, start_win):
-            region = jax.lax.dynamic_slice_in_dim(
-                stream, start_win * sps, self.pkt_samples, axis=-1
+            return self._decode_candidate(
+                self._region_from(stream, start_win * sps)
             )
-            return self._decode_candidate(region)
 
         fn = per_candidate
         # vmap over candidates, then over any leading stream dims
         fn = jax.vmap(fn, in_axes=(None, 0))
         for _ in range(x.ndim - 1):
             fn = jax.vmap(fn, in_axes=(0, 0))
-        ok, pay, plen, hdr, cfo = fn(xp_, starts)
+        ok, pay, plen, hdr, cfo = fn(x, starts)
         return DenseResult(
             valid=ok & s_valid,
             payload=pay,
@@ -475,14 +522,9 @@ class DenseReceiver:
         sig = score[order]
         snr = sig / jnp.maximum(noise[chan], 1e-30)
 
-        pad = jnp.zeros((C, self.pkt_samples), x.dtype)
-        xp_ = jnp.concatenate([x, pad], axis=-1)
-
         def per_lane(ch, w):
-            region = jax.lax.dynamic_slice(
-                xp_, (ch, w * sps), (1, self.pkt_samples)
-            )[0]
-            return self._decode_candidate(region)
+            stream = jax.lax.dynamic_slice_in_dim(x, ch, 1, axis=0)[0]
+            return self._decode_candidate(self._region_from(stream, w * sps))
 
         ok, pay, plen, hdr, cfo = jax.vmap(per_lane)(chan, win)
         return PooledResult(
