@@ -97,6 +97,18 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_timings(args) -> int:
+    from .profiling import timing_table
+
+    table = timing_table(tuple(args.sfs), tuple(args.methods),
+                         iters=args.iters)
+    print(table)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(table)
+    return 0
+
+
 def cmd_analyze(args) -> int:
     from .debugger import live_analyze
 
@@ -152,6 +164,16 @@ def main(argv=None) -> int:
     b = sub.add_parser("bench", help="run the throughput benchmark")
     b.add_argument("--channels", type=int, default=None)
     b.set_defaults(fn=cmd_bench)
+
+    tm = sub.add_parser(
+        "timings",
+        help="per-stage timing study (parity with examples/lora-timings)",
+    )
+    tm.add_argument("--sfs", type=int, nargs="+", default=[7, 12])
+    tm.add_argument("--methods", nargs="+", default=["gradient", "fft"])
+    tm.add_argument("--iters", type=int, default=5)
+    tm.add_argument("--out", default=None)
+    tm.set_defaults(fn=cmd_timings)
 
     a = sub.add_parser(
         "analyze", help="live sample scope (parity with grlora_analyze.py)"

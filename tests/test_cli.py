@@ -1,0 +1,56 @@
+"""End-to-end CLI coverage (the reference's user surface:
+apps/lora_receive_file_nogui.py + python/qa_testsuite.py flows)."""
+
+import numpy as np
+
+from lora_tpu import LoRaConfig
+from lora_tpu.cli import main
+from lora_tpu.io.udp import LoRaUDPServer
+from lora_tpu.tx.modulator import modulate_frame
+
+
+def _write_cf32(path, payload=b"\xde\xad\xbe\xef", times=2):
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=1e6, crc=True)
+    chunks = [
+        modulate_frame(cfg, payload, pad_before=3000, pad_after=1024,
+                       snr_db=35.0, seed=i)
+        for i in range(times)
+    ]
+    stream = np.concatenate(chunks + [np.zeros(4096, np.complex64)])
+    stream.astype(np.complex64).tofile(path)
+    return path
+
+
+def test_decode_file_raw_cf32(tmp_path, capsys):
+    f = _write_cf32(str(tmp_path / "capture.cf32"))
+    rc = main(["decode-file", f, "--samp-rate", "1e6", "--sf", "7",
+               "--cr", "4", "--engine", "golden"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 2
+    # LORAPHY layer: 3 header bytes + payload + 2 CRC bytes
+    assert all(line.split()[3:7] == ["de", "ad", "be", "ef"] for line in out)
+
+
+def test_decode_file_udp_sink(tmp_path, capsys):
+    f = _write_cf32(str(tmp_path / "capture.cf32"), times=1)
+    server = LoRaUDPServer(port=40871, timeout=5.0)
+    try:
+        rc = main(["decode-file", f, "--engine", "golden", "--udp",
+                   "--udp-port", "40871", "--layer", "2"])
+        assert rc == 0
+        payloads = server.get_payloads(1)
+    finally:
+        server.close()
+    # LORAMAC layer strips loratap+phy headers and the MAC CRC;
+    # get_payloads hexlifies like the reference's lorasocket.py
+    assert payloads == [b"deadbeef"]
+
+
+def test_gen_suite_and_testsuite_roundtrip(tmp_path):
+    rc = main(["gen-suite", str(tmp_path), "--suite", "short_sim",
+               "--sfs", "7", "--crs", "4"])
+    assert rc == 0
+    rc = main(["testsuite", str(tmp_path), "--nowrite",
+               "--min-accuracy", "1.0"])
+    assert rc == 0
