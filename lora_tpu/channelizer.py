@@ -105,6 +105,37 @@ def channelize_list(x, taps, offsets_hz, samp_rate: float, decimation: int):
     return y[:, ::decimation].astype(jnp.complex64)
 
 
+def fractional_resampler(x, ratio: float, ntaps: int = 8,
+                         nphases: int = 128) -> np.ndarray:
+    """Arbitrary-ratio resampler (reference ``fractional_resampler_cc``,
+    python/lora_receiver.py:60 — GNU Radio's MMSE 8-tap interpolating FIR).
+
+    ``out[n] = x(n * ratio)`` via a bank of ``nphases`` windowed-sinc
+    interpolation filters of ``ntaps`` taps (Hamming window; phase chosen
+    by the fractional sample position). ``ratio > 1`` decimates. Host-side
+    numpy — this is capture pre-conditioning, not the TPU hot path.
+    """
+    x = np.asarray(x)
+    half = ntaps // 2
+    phases = np.arange(nphases) / nphases
+    k = np.arange(-half + 1, half + 1, dtype=np.float64)  # ntaps offsets
+    t = k[None, :] - phases[:, None]                       # [nphases, ntaps]
+    sinc = np.sinc(t)
+    win = 0.54 + 0.46 * np.cos(np.pi * t / half)
+    bank = (sinc * win).astype(np.float64)
+    bank /= bank.sum(axis=1, keepdims=True)                # unit DC gain
+
+    n_out = int((len(x) - ntaps) / ratio)
+    pos = np.arange(n_out) * ratio
+    base = np.floor(pos).astype(np.int64)
+    frac = pos - base
+    phase = np.minimum((frac * nphases + 0.5).astype(np.int64), nphases - 1)
+    idx = base[:, None] + k[None, :].astype(np.int64)      # [n_out, ntaps]
+    idx = np.clip(idx, 0, len(x) - 1)
+    out = np.sum(x[idx] * bank[phase], axis=1)
+    return out.astype(x.dtype)
+
+
 class PolyphaseChannelizer:
     """Critically-sampled polyphase filterbank channelizer.
 

@@ -54,7 +54,19 @@ class LoRaReceiver:
         self.center_freq = center_freq
         self.channel_list = list(channel_list) if channel_list else [center_freq]
         self.bandwidth = bandwidth
-        self.decimation = max(1, int(decimation))
+        # non-integer decimation (e.g. RTL-SDR 1.024 Msps -> 1 Msps) takes
+        # the fractional-resampler path, as in the reference (:59-62)
+        self.decimation = (
+            int(decimation) if float(decimation) == int(decimation)
+            else float(decimation)
+        )
+        self.decimation = max(1, self.decimation)
+        if not isinstance(self.decimation, int) and not disable_channelization:
+            raise ValueError(
+                "fractional decimation requires disable_channelization=True "
+                "(the reference's fractional_resampler path; its channelizer "
+                "FIR likewise only takes integer decimation)"
+            )
         self.disable_channelization = disable_channelization
         self.engine = engine
         self._cfo = 0.0
@@ -109,7 +121,12 @@ class LoRaReceiver:
         if self.disable_channelization:
             # reference: fractional resampler path (python/lora_receiver.py:59-62);
             # for integer decimation plain stride decimation suffices
-            streams = [samples[:: self.decimation]]
+            if isinstance(self.decimation, int):
+                streams = [samples[:: self.decimation]]
+            else:
+                from .channelizer import fractional_resampler
+
+                streams = [fractional_resampler(samples, self.decimation)]
         else:
             offsets = [f - self.center_freq + self._cfo for f in self.channel_list]
             if len(offsets) == 1:
