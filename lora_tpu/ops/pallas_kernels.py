@@ -98,8 +98,14 @@ def detection_metrics_pallas(xf, sps: int, interpret: bool = False):
     K = K1 - 1
     if sps % 128 != 0 or K < 1:
         return detection_metrics_planes(xf, sps)
+    # VMEM budget (16 MB scoped limit): double-buffered main block
+    # (2*[2,T,sps] f32) + double-buffered next-row block (2*[2,8,sps])
+    # + ~6 in-kernel [T,sps] temporaries (rn/imn copies, products).
+    # Conservative model measured against the SF10/SF12 geometries.
+    budget = 14 * 1024 * 1024
+    t_max = (budget - 128 * sps) // (24 * sps)
     for T in (256, 128, 64, 32, 16, 8):
-        if K1 % T == 0:
+        if T <= t_max and K1 % T == 0:
             break
     else:
         return detection_metrics_planes(xf, sps)

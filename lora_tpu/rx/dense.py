@@ -115,14 +115,18 @@ class DenseReceiver:
         self._up_ifreq_v = tiled_upchirp_ifreq(config)
         # fold-DFT matmul replaces the per-window FFT when the matrix fits
         # comfortably in HBM (the MXU path; see demod.make_fold_dft)
+        # 16M entries = 128 MB of fold matrix (fine in HBM); covers SF10 @
+        # decim 8, whose batched-FFT fallback otherwise compiles ~4 min on
+        # the remote TPU toolchain. SF11+ full-rate stays on the FFT path.
         self._fold_mat = (
             demod.make_fold_dft(down, self.sps, self.n_bins)
-            if self.sps * self.n_bins <= 8 * 1024 * 1024
+            if self.sps * self.n_bins <= 16 * 1024 * 1024
             else None
         )
 
         # per-packet region: sync(2) + sfd_search + 2.25 + 8 hdr + S payload
         self.pkt_samples = (self.F + 13 + self.S) * self.sps
+        self._deint_tables = self._build_deint_tables()
         self.process_fn = self._build()   # un-jitted (for shard_map wrapping)
         self._process = jax.jit(self.process_fn)
 
@@ -312,6 +316,36 @@ class DenseReceiver:
         ok = ok & (n_data >= 8) & (paylen <= MAX_PAYLOAD)
         return ok, pay, paylen.astype(jnp.int32), hdr_bytes
 
+    def _build_deint_tables(self):
+        """Gather tables turning the per-CR diagonal deinterleave
+        (reference :535-565) into one bit-gather.
+
+        The deinterleave is a fixed bit permutation per CR: codeword ``k``
+        of variant ``cr`` has bit ``i`` = bit ``(x - i) mod ppm`` of
+        payload word ``n*(4+cr) + i`` with ``n = k // ppm``, ``x = k %
+        ppm``. Encoding it as host-built index tables replaces the 4
+        unrolled rotl/transpose chains (dozens of small int ops per CR
+        variant) with a single ``[4, CW, 8]`` gather — the decode tail is
+        dispatch-bound, not FLOP-bound.
+        """
+        cfg = self.cfg
+        ppm = cfg.sf - 2 if cfg.reduced_rate else cfg.sf
+        ppm_hdr = cfg.sf - 2
+        CW = ppm_hdr - 5 + (self.S // 5) * ppm  # capacity (see _finish_decode)
+        src = np.zeros((4, CW, 8), np.int32)
+        shift = np.zeros((4, CW, 8), np.int32)
+        mask = np.zeros((4, CW, 8), np.int32)
+        for v, cr in enumerate((1, 2, 3, 4)):
+            blk = 4 + cr
+            nblocks = self.S // blk
+            for k in range(min(CW, nblocks * ppm)):
+                n, x = divmod(k, ppm)
+                for i in range(blk):
+                    src[v, k, i] = n * blk + i
+                    shift[v, k, i] = (x - i) % ppm
+                    mask[v, k, i] = 1
+        return src, shift, mask
+
     def _finish_decode(self, words, sfd_ok):
         """Shared tail: header parse + payload decode from ``[8+S]`` words."""
         cfg = self.cfg
@@ -327,21 +361,15 @@ class DenseReceiver:
         budget = dec.payload_symbol_budget(paylen, cr, cfg.sf, cfg.reduced_rate, xp=jnp)
         hdr_ok = (budget <= self.S) & (cr >= 1) & (paylen <= MAX_PAYLOAD)
 
-        # --- payload deinterleave for each possible cr (static variants) ---
+        # --- payload deinterleave: one bit-gather via the per-CR tables ---
         ppm_pay = cfg.sf - 2 if cfg.reduced_rate else cfg.sf
         CW = ppm_hdr - 5 + (self.S // 5) * ppm_pay  # capacity
         pay_words = words[8:].astype(jnp.int32)
-
-        def rows_for_cr(crv: int):
-            b = 4 + crv
-            nblocks = self.S // b
-            w = pay_words[: nblocks * b].reshape(nblocks, b)
-            rows = dec.deinterleave_words(w, jnp.int32(b), ppm_pay, xp=jnp)
-            flat = rows.reshape(-1)
-            return jnp.pad(flat, (0, CW - flat.shape[0]))
-
-        pay_cw_by_cr = jnp.stack([rows_for_cr(v) for v in (1, 2, 3, 4)])
-        pay_cw = pay_cw_by_cr[jnp.clip(cr - 1, 0, 3)]
+        src, shift, mask = (jnp.asarray(t) for t in self._deint_tables)
+        v = jnp.clip(cr - 1, 0, 3)
+        src_c, shift_c, mask_c = src[v], shift[v], mask[v]  # [CW, 8]
+        bits_ = (jnp.take(pay_words, src_c) >> shift_c) & mask_c
+        pay_cw = jnp.sum(bits_ << np.arange(8, dtype=np.int32), axis=-1)
         # prepend the payload codewords carried in the header block
         head_extra = hdr_rows[5:]  # [ppm_hdr - 5]
         codewords = jnp.concatenate([head_extra, pay_cw])[:CW]

@@ -181,6 +181,10 @@ def run_suite(
         x for x in sorted(os.listdir(suites_path))
         if os.path.isdir(os.path.join(suites_path, x))
     ]
+    # receivers cached per radio config: suites repeat each (sf, cr)
+    # config across payload traces, and a fresh receiver instance would
+    # re-jit the whole pipeline every trace on the dense engine
+    rx_cache: dict = {}
     for suite in suites:
         if suites_to_run and suite not in suites_to_run:
             continue
@@ -190,19 +194,37 @@ def run_suite(
             print(f"[+] {meta}")
             trace = read_trace(meta)
             cfg = trace.lora_config
-            rx = LoRaReceiver(
-                samp_rate=trace.sample_rate,
-                center_freq=trace.capture_freq,
-                channel_list=[trace.capture_freq + trace.frequency_offset],
-                bandwidth=cfg.bandwidth,
-                sf=cfg.sf,
-                implicit=cfg.implicit,
-                cr=cfg.cr,
-                crc=cfg.crc,
-                reduced_rate=cfg.reduced_rate,
-                engine=engine,
-            )
-            frames = rx.receive(trace.samples)
+            key = (trace.sample_rate, trace.capture_freq,
+                   trace.frequency_offset, cfg.bandwidth, cfg.sf, cfg.cr,
+                   cfg.implicit, cfg.crc, cfg.reduced_rate)
+            rx = rx_cache.get(key)
+            if rx is None:
+                # dense engine: candidate capacity must cover every packet
+                # in the trace (suite traces carry up to `times`=10)
+                kw = {"max_candidates": 16} if engine == "dense" else {}
+                rx = rx_cache[key] = LoRaReceiver(
+                    samp_rate=trace.sample_rate,
+                    center_freq=trace.capture_freq,
+                    channel_list=[trace.capture_freq + trace.frequency_offset],
+                    bandwidth=cfg.bandwidth,
+                    sf=cfg.sf,
+                    implicit=cfg.implicit,
+                    cr=cfg.cr,
+                    crc=cfg.crc,
+                    reduced_rate=cfg.reduced_rate,
+                    engine=engine,
+                    **kw,
+                )
+            # bucket trace lengths (zero-pad up) so repeated configs hit
+            # the jit cache instead of recompiling per trace length
+            samples = trace.samples
+            bucket = 64 * rx.config.samples_per_symbol * int(rx.decimation)
+            pad = -len(samples) % bucket
+            if pad:
+                samples = np.concatenate(
+                    [samples, np.zeros(pad, samples.dtype)]
+                )
+            frames = rx.receive(samples)
             decoded = [f.mac_payload.hex() for f in frames]
             summary.add(
                 decoded, trace.expected, trace.times,
