@@ -125,6 +125,18 @@ class Frame:
     def __post_init__(self):
         self.tap_header.snr = snr_to_loratap(self.snr)
 
+    @property
+    def crc_ok(self):
+        """Validate the MAC payload CRC-16 — a check the reference
+        explicitly does NOT implement (reference README.md:10-14).
+
+        Returns ``None`` when the frame carries no MAC CRC, else bool.
+        """
+        if not self.phy_header.has_mac_crc or len(self.payload) <= MAC_CRC_SIZE:
+            return None
+        data = self.payload[: -MAC_CRC_SIZE]
+        return mac_crc(data) == self.payload[-MAC_CRC_SIZE:]
+
     def to_bytes(self, layer: int = LORATAP) -> bytes:
         """Serialize, stripping headers per the requested layer
         (reference message_socket_sink_impl.cc:97-116)."""

@@ -53,3 +53,37 @@ def test_snr_encoding():
     assert snr_to_loratap(10.0) == 10  # 10*log10(10)+0.5 = 10.5 -> 10
     assert snr_to_loratap(100.0) == 20
     assert snr_to_loratap(0.0) == 0
+
+
+def test_crc_ok_validation():
+    # a capability the reference lacks (README.md:10-14): CRC checking
+    from lora_tpu.io.frames import Frame, PhyHeader, mac_crc
+
+    data = b"\xde\xad\xbe\xef"
+    good = Frame(
+        phy_header=PhyHeader(length=4, has_mac_crc=1, cr=4),
+        payload=data + mac_crc(data),
+    )
+    assert good.crc_ok is True
+    bad = Frame(
+        phy_header=PhyHeader(length=4, has_mac_crc=1, cr=4),
+        payload=data + b"\x00\x00",
+    )
+    assert bad.crc_ok is False
+    nocrc = Frame(phy_header=PhyHeader(length=4, has_mac_crc=0, cr=4),
+                  payload=data)
+    assert nocrc.crc_ok is None
+
+
+def test_end_to_end_decoded_frame_has_valid_crc():
+    import numpy as np
+    from lora_tpu import LoRaConfig
+    from lora_tpu.rx.golden import GoldenReceiver
+    from lora_tpu.tx.modulator import modulate_frame
+
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=1e6, crc=True)
+    pkt = modulate_frame(cfg, b"\x12\x34\x56", pad_before=2000,
+                         pad_after=1024, snr_db=35.0, seed=9)
+    frames = GoldenReceiver(cfg).run(np.concatenate([pkt, np.zeros(2048, np.complex64)]))
+    assert len(frames) == 1
+    assert frames[0].crc_ok is True
