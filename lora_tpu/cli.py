@@ -116,6 +116,31 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_flowgraph(args) -> int:
+    from .flowgraph import run_flowgraph
+
+    frames = run_flowgraph(args.file, max_frames=args.max_frames,
+                           max_seconds=args.max_seconds)
+    print(f"decoded {len(frames)} frames", file=sys.stderr)
+    return 0
+
+
+def cmd_blocks(args) -> int:
+    """Dump the block descriptor set (parity with grc/*.block.yml)."""
+    import yaml
+
+    from .flowgraph import block_descriptors
+
+    descs = block_descriptors()
+    if args.block:
+        descs = [d for d in descs if d["id"] in (args.block, f"lora_{args.block}")]
+        if not descs:
+            print(f"unknown block {args.block!r}", file=sys.stderr)
+            return 2
+    print(yaml.safe_dump_all(descs, sort_keys=False), end="")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="lora_tpu", description=__doc__)
     sub = p.add_subparsers(dest="command", required=True)
@@ -174,6 +199,20 @@ def main(argv=None) -> int:
     tm.add_argument("--iters", type=int, default=5)
     tm.add_argument("--out", default=None)
     tm.set_defaults(fn=cmd_timings)
+
+    fg = sub.add_parser(
+        "flowgraph",
+        help="run a declarative flowgraph (parity with GRC .grc files)")
+    fg.add_argument("file", help="flowgraph YAML")
+    fg.add_argument("--max-frames", type=int, default=None)
+    fg.add_argument("--max-seconds", type=float, default=None)
+    fg.set_defaults(fn=cmd_flowgraph)
+
+    bl = sub.add_parser(
+        "blocks",
+        help="list flowgraph block descriptors (parity with grc/*.block.yml)")
+    bl.add_argument("block", nargs="?", default=None)
+    bl.set_defaults(fn=cmd_blocks)
 
     a = sub.add_parser(
         "analyze", help="live sample scope (parity with grlora_analyze.py)"

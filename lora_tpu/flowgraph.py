@@ -1,0 +1,688 @@
+"""Declarative flowgraphs — the GRC layer (L5/L6) re-imagined.
+
+The reference ships GNU Radio Companion artifacts: per-block YAML
+descriptors (``grc/lora_receiver.block.yml`` etc.) and flowgraph files
+(``apps/lora_receive_file.grc``, ``apps/lora_receive_realtime.grc``)
+that wire ``file_source | uhd_usrp_source -> throttle -> lora_receiver
+-> sinks`` graphs without code. This module is the TPU-native
+equivalent: a small YAML flowgraph format with the same shape
+(``options`` / ``variables`` / ``blocks`` / ``connections``), a typed
+block registry that doubles as the descriptor set, and a runner that
+executes the graph as chunked streaming through the jitted receiver.
+
+Schema (deliberately close to the grc.converter output so reference
+flowgraphs translate line-for-line):
+
+.. code-block:: yaml
+
+    options: {id: lora_receive_file}
+    variables:
+      samp_rate: 1e6
+      capture_freq: 868.0e6
+      offset: 100e3
+    blocks:
+    - {name: src,  id: file_source, parameters: {file: capture.cf32}}
+    - {name: thr,  id: throttle,    parameters: {samp_rate: samp_rate}}
+    - name: rx
+      id: lora_receiver
+      parameters:
+        samp_rate: samp_rate
+        center_freq: capture_freq
+        channel_list: [capture_freq + offset]
+        sf: 7
+    - {name: udp, id: message_socket_sink, parameters: {port: 40868}}
+    connections:
+    - [src, '0', thr, '0']
+    - [thr, '0', rx, '0']
+    - [rx, frames, udp, in]
+
+Parameter values are expressions over ``variables`` (arithmetic only —
+a safe-eval subset of what GRC allows). Stream connections ('0' ports)
+carry IQ; message connections (``frames``/``in`` ports) carry decoded
+frames, exactly mirroring the reference's typed-stream vs PMT-port
+split (SURVEY.md §2.5).
+
+Sources replace the reference's hardware blocks: ``file_source`` <-
+``blocks_file_source``; ``udp_iq_source``/``stdin_source`` <- the live
+SDR sources (``uhd_usrp_source`` in lora_receive_realtime.grc) — IQ
+arrives as cf32 over UDP/stdin instead of a USRP driver, which is the
+sensible ingest for a TPU host.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import sys
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .io.frames import Frame
+
+
+# --------------------------------------------------------------------------
+# safe expression evaluation (GRC evaluates params as python; we allow the
+# arithmetic subset)
+# --------------------------------------------------------------------------
+
+_ALLOWED_CALLS = {"int": int, "float": float, "abs": abs, "min": min,
+                  "max": max, "round": round, "len": len}
+
+
+def safe_eval(expr: Any, variables: Dict[str, Any]):
+    """Evaluate a parameter expression: numbers, strings, bools, lists,
+    variable names, arithmetic, and a handful of builtins."""
+    if isinstance(expr, (int, float, bool, bytes)) or expr is None:
+        return expr
+    if isinstance(expr, (list, tuple)):
+        return [safe_eval(e, variables) for e in expr]
+    s = str(expr)
+
+    def _eval(node):
+        if isinstance(node, ast.Expression):
+            return _eval(node.body)
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.Name):
+            if node.id in variables:
+                return variables[node.id]
+            if node.id in ("True", "False", "None"):
+                return {"True": True, "False": False, "None": None}[node.id]
+            raise NameError(f"unknown variable {node.id!r} in {s!r}")
+        if isinstance(node, ast.BinOp) and isinstance(
+            node.op, (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv,
+                      ast.Mod, ast.Pow)
+        ):
+            a, b = _eval(node.left), _eval(node.right)
+            op = type(node.op)
+            return {
+                ast.Add: lambda: a + b, ast.Sub: lambda: a - b,
+                ast.Mult: lambda: a * b, ast.Div: lambda: a / b,
+                ast.FloorDiv: lambda: a // b, ast.Mod: lambda: a % b,
+                ast.Pow: lambda: a ** b,
+            }[op]()
+        if isinstance(node, ast.UnaryOp) and isinstance(
+            node.op, (ast.USub, ast.UAdd, ast.Not)
+        ):
+            v = _eval(node.operand)
+            return (-v if isinstance(node.op, ast.USub)
+                    else +v if isinstance(node.op, ast.UAdd) else not v)
+        if isinstance(node, (ast.List, ast.Tuple)):
+            return [_eval(e) for e in node.elts]
+        if (isinstance(node, ast.Call) and isinstance(node.func, ast.Name)
+                and node.func.id in _ALLOWED_CALLS and not node.keywords):
+            return _ALLOWED_CALLS[node.func.id](*[_eval(a) for a in node.args])
+        raise ValueError(f"disallowed expression {s!r}")
+
+    try:
+        tree = ast.parse(s, mode="eval")
+    except SyntaxError:
+        return s  # plain string value (e.g. a file path)
+    try:
+        return _eval(tree)
+    except NameError:
+        raise
+    except ValueError:
+        # strings like '127.0.0.1' parse but don't evaluate — keep verbatim
+        return s
+
+
+# --------------------------------------------------------------------------
+# block registry / descriptors (<- grc/*.block.yml)
+# --------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Param:
+    id: str
+    dtype: str
+    default: Any = None
+    label: str = ""
+
+
+@dataclasses.dataclass
+class BlockSpec:
+    id: str
+    label: str
+    kind: str  # 'source' | 'stream' | 'receiver' | 'sink'
+    params: List[Param]
+    make: Callable[..., Any]
+    doc: str = ""
+
+    def descriptor(self) -> dict:
+        """grc-style block descriptor (parity with grc/*.block.yml)."""
+        return {
+            "id": f"lora_{self.id}",
+            "label": self.label,
+            "category": "[LoRa TPU]",
+            "kind": self.kind,
+            "parameters": [
+                {"id": p.id, "label": p.label or p.id.replace("_", " "),
+                 "dtype": p.dtype, "default": p.default}
+                for p in self.params
+            ],
+            "documentation": self.doc.strip(),
+        }
+
+
+BLOCKS: Dict[str, BlockSpec] = {}
+
+
+def _register(spec: BlockSpec) -> BlockSpec:
+    BLOCKS[spec.id] = spec
+    return spec
+
+
+def block_descriptors() -> List[dict]:
+    """All block descriptors, the set ``grc/*.block.yml`` corresponds to."""
+    return [b.descriptor() for b in BLOCKS.values()]
+
+
+# --------------------------------------------------------------------------
+# sources
+# --------------------------------------------------------------------------
+
+class FileSource:
+    """cf32 (or .sigmf-data via its -meta) file source
+    (<- blocks_file_source in apps/lora_receive_file.grc:119)."""
+
+    def __init__(self, file: str, repeat: bool = False,
+                 chunk_samples: int = 1 << 18):
+        if str(file).endswith(".sigmf-meta"):
+            from .io.sigmf import read_trace
+
+            self._all = read_trace(file).samples
+            self._file = None
+        else:
+            self._all = None
+            self._file = open(file, "rb")
+        self.repeat = bool(repeat)
+        self.chunk = int(chunk_samples)
+        self._pos = 0
+
+    def chunks(self):
+        while True:
+            if self._all is not None:
+                if self._pos >= len(self._all):
+                    if not self.repeat:
+                        break
+                    self._pos = 0
+                yield self._all[self._pos: self._pos + self.chunk]
+                self._pos += self.chunk
+            else:
+                raw = self._file.read(self.chunk * 8)
+                if not raw:
+                    if not self.repeat:
+                        break
+                    self._file.seek(0)
+                    continue
+                yield np.frombuffer(raw, dtype=np.complex64)
+
+    def close(self):
+        if self._file:
+            self._file.close()
+
+
+class StdinSource:
+    """cf32 stream on stdin — pipe any capture/SDR tool in
+    (``rtl_sdr - | ... | python -m lora_tpu.cli flowgraph rt.yml``)."""
+
+    def __init__(self, chunk_samples: int = 1 << 17):
+        self.chunk = int(chunk_samples)
+
+    def chunks(self):
+        f = sys.stdin.buffer
+        while True:
+            raw = f.read(self.chunk * 8)
+            if not raw:
+                break
+            n = len(raw) // 8 * 8
+            yield np.frombuffer(raw[:n], dtype=np.complex64)
+
+    def close(self):
+        pass
+
+
+class UdpIqSource:
+    """cf32 IQ over UDP datagrams — the live-SDR ingest replacing
+    uhd_usrp_source in lora_receive_realtime.grc (stream IQ from the
+    SDR host with e.g. a trivial sender; each datagram is raw cf32)."""
+
+    def __init__(self, addr: str = "0.0.0.0", port: int = 40900,
+                 timeout: float = 5.0, max_samples: Optional[int] = None):
+        import socket
+
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock.bind((addr, int(port)))
+        self.sock.settimeout(timeout)
+        self.max_samples = max_samples
+
+    def chunks(self):
+        import socket as _socket
+
+        seen = 0
+        while self.max_samples is None or seen < self.max_samples:
+            try:
+                raw, _ = self.sock.recvfrom(1 << 16)
+            except (_socket.timeout, OSError):
+                break
+            if not raw:
+                break
+            n = len(raw) // 8 * 8
+            x = np.frombuffer(raw[:n], dtype=np.complex64)
+            seen += len(x)
+            yield x
+
+    def close(self):
+        self.sock.close()
+
+
+class Throttle:
+    """Pace chunks to ``samp_rate`` samples/s
+    (<- blocks_throttle, apps/lora_receive_file.grc:141). On a TPU that
+    decodes ~1000x faster than real time this is only useful for
+    simulating live operation, exactly like the reference demo."""
+
+    def __init__(self, samp_rate: float):
+        self.samp_rate = float(samp_rate)
+        self._t0 = None
+        self._sent = 0
+
+    def pace(self, n: int) -> None:
+        now = time.monotonic()
+        if self._t0 is None:
+            self._t0 = now
+        self._sent += n
+        due = self._t0 + self._sent / self.samp_rate
+        if due > now:
+            time.sleep(due - now)
+
+
+# --------------------------------------------------------------------------
+# sinks (frame consumers; all expose .handle(frame))
+# --------------------------------------------------------------------------
+
+class FramePrintSink:
+    """Hex print to stdout — the decoder's own printout in the reference
+    (lib/decoder_impl.cc:872 via utilities.h print_vector_hex)."""
+
+    def __init__(self, layer: int = 1, stream=None):
+        self.layer = int(layer)
+        self.stream = stream or sys.stdout
+
+    def handle(self, frame: Frame) -> None:
+        data = frame.to_bytes(self.layer)
+        print(" ".join(f"{b:02x}" for b in data), file=self.stream)
+
+
+class FrameCollectSink:
+    """In-memory collector; `Flowgraph.run()` returns its frames."""
+
+    def __init__(self):
+        self.frames: List[Frame] = []
+
+    def handle(self, frame: Frame) -> None:
+        self.frames.append(frame)
+
+
+# --------------------------------------------------------------------------
+# the receiver block: chunked streaming frontend + per-channel decoders
+# --------------------------------------------------------------------------
+
+class StreamingLoRaReceiver:
+    """Streaming form of :class:`lora_tpu.receiver.LoRaReceiver`:
+    chunk-wise frequency-translating FIR with tail/phase carry-over for
+    seamless chunk boundaries, feeding per-channel
+    :class:`~lora_tpu.stream.StreamingReceiver` instances (dense engine)
+    or a buffered golden/parity decode."""
+
+    def __init__(self, samp_rate: float, center_freq: float,
+                 channel_list: Sequence[float], bandwidth: float = 125e3,
+                 sf: int = 7, implicit: bool = False, cr: int = 4,
+                 crc: bool = True, reduced_rate: bool = False,
+                 conj: bool = False, decimation: int = 1,
+                 disable_channelization: bool = False,
+                 disable_drift_correction: bool = False,
+                 engine: str = "dense", block_symbols: int = 512,
+                 max_candidates: int = 8, max_symbols: int = 48):
+        from .config import LoRaConfig
+        from .channelizer import lora_channel_taps
+
+        self.samp_rate = float(samp_rate)
+        self.center_freq = float(center_freq)
+        self.channel_list = [float(f) for f in (channel_list or [center_freq])]
+        self.decimation = int(decimation)
+        if float(decimation) != self.decimation:
+            raise ValueError(
+                "fractional decimation is not streamable; use "
+                "`lora_tpu.cli decode-file` (fractional_resampler path)")
+        self.decimation = max(1, self.decimation)
+        self.disable_channelization = bool(disable_channelization)
+        self.conj = bool(conj)
+        self.engine = engine
+        self.config = LoRaConfig(
+            sf=int(sf), cr=int(cr), bandwidth=float(bandwidth),
+            samp_rate=self.samp_rate / self.decimation,
+            implicit=bool(implicit), crc=bool(crc),
+            reduced_rate=bool(reduced_rate), conj=False,  # conj applied here
+            disable_drift_correction=bool(disable_drift_correction),
+        )
+        self._taps = (None if disable_channelization
+                      else lora_channel_taps(self.samp_rate, float(bandwidth)))
+        self._offsets = [f - self.center_freq for f in self.channel_list]
+        self._tail = np.zeros(0, np.complex64)  # raw carry (ntaps-1)
+        self._raw_index = 0          # absolute raw-sample index of chunk head
+        self._filt_count = 0         # filtered samples produced so far
+        self.sinks: List[Any] = []
+
+        if engine == "dense":
+            from .rx.dense import DenseReceiver
+            from .stream import StreamingReceiver
+
+            self._streams = [
+                StreamingReceiver(
+                    DenseReceiver(self.config, max_candidates=max_candidates,
+                                  max_symbols=max_symbols),
+                    block_symbols=block_symbols)
+                for _ in self._offsets
+            ]
+            self._buffered = None
+        else:
+            self._streams = None
+            self._buffered = [np.zeros(0, np.complex64) for _ in self._offsets]
+
+    # -- chunk-continuous channelizer ------------------------------------
+    def _channelize(self, x: np.ndarray) -> List[np.ndarray]:
+        if self.disable_channelization or (
+            self._taps is None
+            or (len(self._offsets) == 1 and self._offsets[0] == 0.0
+                and self.decimation == 1)
+        ):
+            return [x[:: self.decimation] for _ in self._offsets]
+        ntaps = len(self._taps)
+        raw = np.concatenate([self._tail, x])
+        head = self._raw_index - len(self._tail)
+        self._tail = raw[max(0, len(raw) - (ntaps - 1)):]
+        self._raw_index += len(x)
+        if len(raw) < ntaps:
+            return [np.zeros(0, np.complex64) for _ in self._offsets]
+        n = head + np.arange(len(raw), dtype=np.float64)
+        outs = []
+        for off in self._offsets:
+            mixer = np.exp(-2j * np.pi * (off / self.samp_rate) * n)
+            y = np.convolve(raw * mixer.astype(np.complex64),
+                            self._taps[::-1], mode="valid")
+            # decimation-phase continuity across chunks
+            p = (-self._filt_count) % self.decimation
+            outs.append(y[p:: self.decimation].astype(np.complex64))
+        self._filt_count += len(raw) - ntaps + 1
+        return outs
+
+    # -- streaming API ----------------------------------------------------
+    def push(self, x: np.ndarray) -> List[Frame]:
+        x = np.asarray(x, dtype=np.complex64)
+        if self.conj:
+            x = np.conj(x)
+        frames: List[Frame] = []
+        for ci, ch in enumerate(self._channelize(x)):
+            if not len(ch):
+                continue
+            if self._streams is not None:
+                for f in self._streams[ci].push(ch):
+                    f.channel = ci
+                    frames.append(f)
+            else:
+                self._buffered[ci] = np.concatenate([self._buffered[ci], ch])
+        self._emit(frames)
+        return frames
+
+    def flush(self) -> List[Frame]:
+        frames: List[Frame] = []
+        if self._streams is not None:
+            for ci, s in enumerate(self._streams):
+                for f in s.flush():
+                    f.channel = ci
+                    frames.append(f)
+        else:
+            from .receiver import LoRaReceiver  # buffered golden/parity
+
+            dec = None
+            for ci, buf in enumerate(self._buffered):
+                rx = LoRaReceiver(
+                    samp_rate=self.config.samp_rate,
+                    center_freq=self.center_freq,
+                    channel_list=[self.center_freq], bandwidth=self.config.bandwidth,
+                    sf=self.config.sf, implicit=self.config.implicit,
+                    cr=self.config.cr, crc=self.config.crc,
+                    reduced_rate=self.config.reduced_rate,
+                    disable_channelization=True, engine=self.engine,
+                ) if dec is None else dec
+                for f in rx.receive(buf):
+                    f.channel = ci
+                    frames.append(f)
+        self._emit(frames)
+        return frames
+
+    def _emit(self, frames: List[Frame]) -> None:
+        for f in frames:
+            for s in self.sinks:
+                s.handle(f)
+
+    def close(self) -> None:
+        if self._streams is not None:
+            for s in self._streams:
+                s.close()
+
+
+# --------------------------------------------------------------------------
+# registry entries
+# --------------------------------------------------------------------------
+
+_register(BlockSpec(
+    "file_source", "File Source", "source",
+    [Param("file", "file_open"), Param("repeat", "bool", False),
+     Param("chunk_samples", "int", 1 << 18)],
+    FileSource, doc="cf32/SigMF IQ file source (blocks_file_source)."))
+_register(BlockSpec(
+    "stdin_source", "Stdin IQ Source", "source",
+    [Param("chunk_samples", "int", 1 << 17)],
+    StdinSource, doc="cf32 IQ on stdin (pipe an SDR tool in)."))
+_register(BlockSpec(
+    "udp_iq_source", "UDP IQ Source", "source",
+    [Param("addr", "string", "0.0.0.0"), Param("port", "int", 40900),
+     Param("timeout", "float", 5.0), Param("max_samples", "int", None)],
+    UdpIqSource, doc="cf32 IQ over UDP datagrams (live-SDR ingest; "
+                     "replaces uhd_usrp_source)."))
+_register(BlockSpec(
+    "throttle", "Throttle", "stream",
+    [Param("samp_rate", "float", 1e6)],
+    Throttle, doc="Pace the stream to samp_rate (blocks_throttle)."))
+_register(BlockSpec(
+    "lora_receiver", "LoRa Receiver", "receiver",
+    [Param("samp_rate", "float", 1e6), Param("center_freq", "float", 868e6),
+     Param("channel_list", "float_vector", [868.1e6]),
+     Param("bandwidth", "int", 125000), Param("sf", "int", 7),
+     Param("implicit", "bool", False), Param("cr", "enum[4,3,2,1]", 4),
+     Param("crc", "bool", True), Param("reduced_rate", "bool", False),
+     Param("conj", "bool", False), Param("decimation", "int", 1),
+     Param("disable_channelization", "bool", False),
+     Param("disable_drift_correction", "bool", False),
+     Param("engine", "enum[dense,parity,golden]", "dense"),
+     Param("block_symbols", "int", 512),
+     Param("max_candidates", "int", 8), Param("max_symbols", "int", 48)],
+    StreamingLoRaReceiver,
+    doc="Complete LoRa PHY receiver (grc/lora_receiver.block.yml), "
+        "streaming all listed channels (the reference decodes only "
+        "channel_list[0])."))
+
+
+def _mk_socket_sink(ip="127.0.0.1", port=40868, layer=0):
+    from .io.udp import MessageSocketSink
+
+    return MessageSocketSink(ip, int(port), int(layer))
+
+
+def _mk_file_sink(file="frames.bin", layer=0):
+    from .io.sinks import MessageFileSink
+
+    return MessageFileSink(file, int(layer))
+
+
+def _mk_mongodb_sink(uri="mongodb://localhost:27017/", db="lora",
+                     collection="frames", tag=""):
+    from .io.sinks import MessageMongoDBSink
+
+    return MessageMongoDBSink(uri, db, collection, tag)
+
+
+_register(BlockSpec(
+    "message_socket_sink", "Message Socket Sink", "sink",
+    [Param("ip", "string", "127.0.0.1"), Param("port", "int", 40868),
+     Param("layer", "enum[0:loratap,1:loraphy,2:loramac]", 0)],
+    _mk_socket_sink,
+    doc="UDP datagram frame sink (grc/lora_message_socket_sink.block.yml)."))
+_register(BlockSpec(
+    "message_file_sink", "Message File Sink", "sink",
+    [Param("file", "file_save"), Param("layer", "int", 0)],
+    _mk_file_sink,
+    doc="Append frames to a binary file (grc/lora_message_file_sink.block.yml)."))
+_register(BlockSpec(
+    "message_mongodb_sink", "Message MongoDB Sink", "sink",
+    [Param("uri", "string", "mongodb://localhost:27017/"),
+     Param("db", "string", "lora"), Param("collection", "string", "frames"),
+     Param("tag", "string", "")],
+    _mk_mongodb_sink,
+    doc="Store frames in MongoDB (grc/lora_message_mongodb_sink.block.yml)."))
+_register(BlockSpec(
+    "frame_print_sink", "Frame Print Sink", "sink",
+    [Param("layer", "int", 1)],
+    FramePrintSink, doc="Hex-print frames to stdout (decoder printout)."))
+_register(BlockSpec(
+    "frame_collect_sink", "Frame Collect Sink", "sink", [],
+    FrameCollectSink, doc="Collect frames in memory (for scripts/tests)."))
+
+
+# --------------------------------------------------------------------------
+# the flowgraph
+# --------------------------------------------------------------------------
+
+class Flowgraph:
+    """A parsed, instantiated flowgraph ready to run."""
+
+    def __init__(self, spec: dict):
+        self.spec = spec
+        variables = {}
+        for k, v in (spec.get("variables") or {}).items():
+            variables[k] = safe_eval(v, variables)
+        self.variables = variables
+
+        self.block_specs: Dict[str, dict] = {}
+        self.blocks: Dict[str, Any] = {}
+        self.kinds: Dict[str, str] = {}
+        for b in spec.get("blocks", []):
+            name, bid = b["name"], b["id"]
+            if bid not in BLOCKS:
+                raise ValueError(f"unknown block id {bid!r} (block {name!r}); "
+                                 f"known: {sorted(BLOCKS)}")
+            reg = BLOCKS[bid]
+            params = {k: safe_eval(v, variables)
+                      for k, v in (b.get("parameters") or {}).items()}
+            known = {p.id for p in reg.params}
+            unknown = set(params) - known
+            if unknown:
+                raise ValueError(f"block {name!r} ({bid}): unknown parameters "
+                                 f"{sorted(unknown)}; accepts {sorted(known)}")
+            self.block_specs[name] = {"id": bid, "parameters": params}
+            self.blocks[name] = reg.make(**params)
+            self.kinds[name] = reg.kind
+
+        self.connections = [tuple(c) for c in spec.get("connections", [])]
+        self._wire()
+
+    # -- graph resolution --------------------------------------------------
+    def _wire(self) -> None:
+        sources = [n for n, k in self.kinds.items() if k == "source"]
+        receivers = [n for n, k in self.kinds.items() if k == "receiver"]
+        if len(sources) != 1 or len(receivers) != 1:
+            raise ValueError(
+                f"a flowgraph needs exactly one source and one lora_receiver "
+                f"(got sources={sources}, receivers={receivers})")
+        self.source_name, self.rx_name = sources[0], receivers[0]
+
+        # stream path: source -> (stream blocks) -> receiver
+        succ = {}
+        for (a, ap, b, bp) in self.connections:
+            if str(ap) in ("0", 0) or self.kinds.get(a) == "source":
+                succ[a] = b
+        node, self.stream_chain = self.source_name, []
+        seen = set()
+        while node != self.rx_name:
+            if node not in succ or node in seen:
+                raise ValueError(
+                    f"no stream path from {self.source_name!r} to "
+                    f"{self.rx_name!r} in connections")
+            seen.add(node)
+            node = succ[node]
+            if node != self.rx_name:
+                if self.kinds.get(node) != "stream":
+                    raise ValueError(f"block {node!r} cannot sit on the "
+                                     f"stream path (kind={self.kinds.get(node)})")
+                self.stream_chain.append(self.blocks[node])
+
+        # message path: receiver frames -> sinks
+        self.collector = FrameCollectSink()
+        rx = self.blocks[self.rx_name]
+        rx.sinks = [self.collector]
+        for (a, ap, b, bp) in self.connections:
+            if a == self.rx_name:
+                if self.kinds.get(b) != "sink":
+                    raise ValueError(f"{b!r} is not a sink")
+                rx.sinks.append(self.blocks[b])
+
+    # -- constructors --------------------------------------------------------
+    @classmethod
+    def from_dict(cls, spec: dict) -> "Flowgraph":
+        return cls(spec)
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "Flowgraph":
+        import yaml
+
+        with open(path) as f:
+            return cls(yaml.safe_load(f))
+
+    # -- execution ------------------------------------------------------------
+    def run(self, max_frames: Optional[int] = None,
+            max_seconds: Optional[float] = None) -> List[Frame]:
+        """Pump the source through the receiver until EOF (or a limit);
+        returns all decoded frames. The moral equivalent of
+        ``tb.start(); tb.wait()`` on the reference flowgraph."""
+        src = self.blocks[self.source_name]
+        rx = self.blocks[self.rx_name]
+        throttles = [b for b in self.stream_chain if isinstance(b, Throttle)]
+        t0 = time.monotonic()
+        try:
+            for chunk in src.chunks():
+                for th in throttles:
+                    th.pace(len(chunk))
+                rx.push(chunk)
+                if max_frames is not None and len(self.collector.frames) >= max_frames:
+                    break
+                if max_seconds is not None and time.monotonic() - t0 > max_seconds:
+                    break
+            rx.flush()
+        finally:
+            src.close()
+            rx.close()
+            for s in rx.sinks:
+                close = getattr(s, "close", None)
+                if close:
+                    close()
+        return self.collector.frames
+
+
+def run_flowgraph(path: str, max_frames: Optional[int] = None,
+                  max_seconds: Optional[float] = None) -> List[Frame]:
+    return Flowgraph.from_yaml(path).run(max_frames=max_frames,
+                                         max_seconds=max_seconds)
