@@ -150,6 +150,27 @@ class Frame:
             return buf[LORATAP_HEADER_SIZE + LORAPHY_HEADER_SIZE : end]
         return buf
 
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "Frame":
+        """Dissect a full LORATAP-layer buffer back into a Frame — the
+        ``dissect_packet`` counterpart of ``build_packet``
+        (reference include/lora/utilities.h:406-416). Round-trips
+        ``to_bytes(LORATAP)``."""
+        buf = bytes(buf)
+        if len(buf) < LORATAP_HEADER_SIZE + LORAPHY_HEADER_SIZE:
+            raise ValueError(f"buffer too short for loratap+phy headers "
+                             f"({len(buf)} bytes)")
+        tap = LoRaTapHeader.from_bytes(buf)
+        phy = PhyHeader.from_bytes(
+            buf[LORATAP_HEADER_SIZE: LORATAP_HEADER_SIZE + LORAPHY_HEADER_SIZE])
+        wire_snr = tap.snr
+        f = cls(phy_header=phy,
+                payload=buf[LORATAP_HEADER_SIZE + LORAPHY_HEADER_SIZE:],
+                snr=10.0 ** (wire_snr / 10.0) if wire_snr else 0.0,
+                tap_header=tap)
+        f.tap_header.snr = wire_snr  # keep the wire byte exactly as received
+        return f
+
     @property
     def mac_payload(self) -> bytes:
         return self.to_bytes(LORAMAC)
@@ -186,9 +207,11 @@ def mac_crc(payload: bytes) -> bytes:
     """LoRa payload CRC-16 (CCITT poly 0x1021, init 0), little-endian.
 
     The CRC covers ``payload[:-2]`` and is XORed with the last two payload
-    bytes. Matches the reference demo trace: payload ``de ad be ef`` ->
-    CRC bytes ``70 0d`` (reference README.md:81-86; the reference decoder
-    itself never *checks* the CRC — README.md:10-14).
+    bytes (``de ad be ef`` -> ``80 ec``). Note the reference demo trace
+    carries ``70 0d`` (reference README.md:81-86), which matches no
+    standard CRC-16 variant; the reference decoder never *checks* CRCs at
+    all (README.md:10-14), so this framework uses the standard LoRa
+    convention for tx and exposes ``Frame.crc_ok`` on rx.
     """
     crc = 0
     for byte in payload[:-2]:

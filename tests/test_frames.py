@@ -87,3 +87,24 @@ def test_end_to_end_decoded_frame_has_valid_crc():
     frames = GoldenReceiver(cfg).run(np.concatenate([pkt, np.zeros(2048, np.complex64)]))
     assert len(frames) == 1
     assert frames[0].crc_ok is True
+
+
+def test_frame_from_bytes_roundtrip():
+    """dissect_packet parity (utilities.h:406-416): to_bytes <-> from_bytes."""
+    from lora_tpu.io.frames import Frame, PhyHeader, LoRaTapHeader, LORATAP
+
+    f = Frame(
+        phy_header=PhyHeader(length=6, cr=4, has_mac_crc=1, crc_msn=0x9,
+                             crc_lsn=0x4),
+        payload=bytes.fromhex("deadbeef80ec"),
+        snr=100.0,
+        tap_header=LoRaTapHeader(lt_length=15, frequency=868100000,
+                                 bandwidth=125, sf=7, sync_word=0x34),
+    )
+    buf = f.to_bytes(LORATAP)
+    g = Frame.from_bytes(buf)
+    assert g.to_bytes(LORATAP) == buf
+    assert g.phy_header == f.phy_header
+    assert g.tap_header == f.tap_header
+    assert g.mac_payload == bytes.fromhex("deadbeef")
+    assert g.crc_ok is True
