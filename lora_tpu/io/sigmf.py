@@ -47,6 +47,7 @@ class SigMFTrace:
             samp_rate=self.sample_rate,
             implicit=bool(cap.get("lora:implicit", False)),
             crc=bool(cap.get("lora:crc", True)),
+            conj=bool(cap.get("lora:conj", False)),
             reduced_rate=sf > 10,
             prlen=int(cap.get("lora:prlen", 8)),
         )
@@ -117,6 +118,7 @@ def write_trace(
                 "lora:prlen": config.prlen,
                 "lora:crc": config.crc,
                 "lora:implicit": config.implicit,
+                "lora:conj": config.conj,
             }
         )
     if expected is not None:

@@ -105,6 +105,19 @@ class TestSummary:
 SHORT_PAYLOADS = [("deadbeef", 5), ("88", 1), ("ffff", 10)]
 
 
+def implicit_expected_hex(cfg: LoRaConfig, payload: bytes) -> str:
+    """Decoded payload for an implicit-header (crc-less) frame: the
+    transmitted bytes zero-padded to the interleave-block budget (the
+    energy-stop decoder emits whole blocks; reference
+    lib/decoder_impl.cc:842-847 block formula with no header codewords)."""
+    ppm = cfg.sf - 2 if cfg.reduced_rate else cfg.sf
+    hdr_slots = cfg.sf - 2          # first block is always reduced-rate
+    needed = 2 * len(payload) - hdr_slots
+    n_blocks = max(0, -(-needed // ppm))
+    total_cw = hdr_slots + n_blocks * ppm
+    return (payload + bytes(total_cw // 2 - len(payload))).hex()
+
+
 def generate_suite(
     out_dir: str,
     suite: str = "short_sim",
@@ -120,10 +133,17 @@ def generate_suite(
     ``short*`` suites follow the reference matrix; ``decode_long*`` uses a
     single 255-byte payload (00..fe) at CR 4/8 per SF
     (apps/generate_test_suites.py:157-200).
+
+    Suite-name modifiers extend past the reference's OTA matrix:
+    ``*implicit*`` -> implicit-header frames (no PHY header, energy-stop
+    end-of-frame, expected = block-padded payload); ``*conj*`` -> downlink
+    (conjugated chirp) frames.
     """
     suite_dir = os.path.join(out_dir, suite)
     os.makedirs(suite_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
+    implicit = "implicit" in suite
+    conj = "conj" in suite and "implicit" not in suite
     idx = 0
     if suite.startswith("decode_long"):
         cases = [(sf, 4, bytes(range(255)).hex(), 1) for sf in sfs]
@@ -136,7 +156,8 @@ def generate_suite(
         ]
     for sf, cr, payload_hex, times in cases:
         cfg = LoRaConfig(
-            sf=sf, cr=cr, samp_rate=samp_rate, crc=True, reduced_rate=sf > 10
+            sf=sf, cr=cr, samp_rate=samp_rate, crc=not implicit,
+            implicit=implicit, conj=conj, reduced_rate=sf > 10
         )
         sps = cfg.samples_per_symbol
         payload = bytes.fromhex(payload_hex)
@@ -156,10 +177,12 @@ def generate_suite(
         stem = os.path.join(
             suite_dir, f"{idx:03d}-" + cfg.file_repr().replace("/", "_")
         )
+        expected = (implicit_expected_hex(cfg, payload)
+                    if implicit else payload_hex)
         write_trace(
             stem, stream, samp_rate, config=cfg,
             capture_freq=868.1e6, transmit_freq=868.1e6,
-            expected=payload_hex, times=times,
+            expected=expected, times=times,
         )
         idx += 1
     return suite_dir
@@ -196,12 +219,19 @@ def run_suite(
             cfg = trace.lora_config
             key = (trace.sample_rate, trace.capture_freq,
                    trace.frequency_offset, cfg.bandwidth, cfg.sf, cfg.cr,
-                   cfg.implicit, cfg.crc, cfg.reduced_rate)
+                   cfg.implicit, cfg.crc, cfg.conj, cfg.reduced_rate)
             rx = rx_cache.get(key)
             if rx is None:
                 # dense engine: candidate capacity must cover every packet
                 # in the trace (suite traces carry up to `times`=10)
+                trace_engine = engine
                 kw = {"max_candidates": 16} if engine == "dense" else {}
+                if cfg.implicit:
+                    # implicit energy-stop on the static window grid needs
+                    # the dense fft engine (golden's gradient drift shifts
+                    # pad nibbles; see rx/dense.py implicit notes)
+                    trace_engine = "dense"
+                    kw = {"max_candidates": 16, "demod_method": "fft"}
                 rx = rx_cache[key] = LoRaReceiver(
                     samp_rate=trace.sample_rate,
                     center_freq=trace.capture_freq,
@@ -212,7 +242,8 @@ def run_suite(
                     cr=cfg.cr,
                     crc=cfg.crc,
                     reduced_rate=cfg.reduced_rate,
-                    engine=engine,
+                    conj=cfg.conj,
+                    engine=trace_engine,
                     **kw,
                 )
             # bucket trace lengths (zero-pad up) so repeated configs hit

@@ -1,0 +1,102 @@
+"""Worker for the multi-host simulation test (run as a subprocess).
+
+Usage: python multiproc_worker.py <coordinator_port> <process_id> <n_procs>
+
+Each process owns 4 virtual CPU devices; together they form one global
+8-device mesh connected by jax.distributed — the CPU stand-in for a
+multi-host TPU pod slice (ICI within a process, DCN across). The
+time-sharded receive pipeline must decode every packet exactly once
+across the global mesh.
+"""
+
+import os
+import sys
+
+port, pid, n_procs = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=4"
+).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=n_procs,
+    process_id=pid,
+)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from lora_tpu import LoRaConfig  # noqa: E402
+from lora_tpu.ops.xfer import pack_iq  # noqa: E402
+from lora_tpu.parallel import make_mesh, time_sharded_process  # noqa: E402
+from lora_tpu.rx.dense import DenseReceiver  # noqa: E402
+from lora_tpu.tx.modulator import modulate_frame  # noqa: E402
+
+assert jax.device_count() == 4 * n_procs, jax.device_count()
+assert jax.local_device_count() == 4
+
+cfg = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
+sps = cfg.samples_per_symbol
+# fft demod: robust at decim 2 (the gradient method is only validated at
+# the reference's canonical decim 8 — see lora_tpu/testsuite.py notes)
+rx = DenseReceiver(cfg, max_candidates=4, max_symbols=24, sfd_search=12,
+                   demod_method="fft")
+
+# deterministic stream, identical in every process: one packet per device
+# block (8 blocks of 64 symbols each)
+n_dev = 4 * n_procs
+block = 64 * sps
+payloads = [bytes([0xA0 | d, d, 0xFF ^ d]) for d in range(n_dev)]
+stream = np.zeros(n_dev * block, np.complex64)
+for d, pl in enumerate(payloads):
+    pkt = modulate_frame(cfg, pl, snr_db=40.0, seed=d)
+    pos = d * block + (3 + d) * sps
+    stream[pos: pos + len(pkt)] = pkt
+xf = pack_iq(stream)  # [2, L]
+
+mesh = make_mesh()  # all 8 global devices
+fn = time_sharded_process(rx, mesh)
+
+# build the global sharded array from per-process local slices
+sharding = NamedSharding(mesh, P(None, "dev"))
+gxf = jax.make_array_from_callback(
+    xf.shape, sharding, lambda idx: np.ascontiguousarray(xf[idx])
+)
+res = fn(gxf)
+
+# global checks run as tiny replicated-jit reductions over DCN
+total_valid = int(
+    jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(
+        res.valid.astype(jnp.int32)
+    ).addressable_data(0)
+)
+assert total_valid == n_dev, f"decoded {total_valid} != {n_dev} packets"
+
+# local checks: every addressable shard's decoded payload matches the
+# packet planted in that device's block
+payload_shards = {(s.index[0].start or 0): np.asarray(s.data)
+                  for s in res.payload.addressable_shards}
+length_shards = {(s.index[0].start or 0): np.asarray(s.data)
+                 for s in res.length.addressable_shards}
+for shard in res.valid.addressable_shards:
+    b = shard.index[0].start or 0
+    valid = np.asarray(shard.data)[0]
+    k = np.nonzero(valid)[0]
+    assert len(k) == 1, (b, valid)
+    k = int(k[0])
+    n = int(length_shards[b][0][k])
+    got = bytes(payload_shards[b][0][k][:n])
+    want = payloads[b]
+    # decoded payload carries the 2-byte MAC CRC after the data
+    assert got[: len(want)] == want, (b, got.hex(), want.hex())
+
+print(f"proc {pid}: OK ({total_valid} packets over {n_dev} devices)")
+jax.distributed.shutdown()
