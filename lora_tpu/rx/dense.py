@@ -15,11 +15,21 @@ while packets and channels are the parallel axes.
 
 Demod methods:
 
-- ``gradient`` (default): reference-parity ifreq-gradient demod incl.
-  fine-sync drift correction (lib/decoder_impl.cc:466-491,300-338).
+- ``gradient``: reference-parity ifreq-gradient demod incl. fine-sync
+  drift correction (lib/decoder_impl.cc:466-491,300-338).
 - ``fft``: dechirp-multiply + FFT argmax (lib/decoder_impl.cc:430-464) —
   no transcendentals, MXU/FFT-friendly; bin convention shifted by +1 vs the
   gradient method (compensated here), no drift correction.
+- ``auto`` (default): ``gradient`` at decimation >= 4 (the reference's
+  operating regime — its canonical config is decim 8), ``fft`` below.
+  The gradient+fine-sync loop needs sample-alignment margin to converge:
+  its empirical basin of attraction is ~±3 samples at decim 8 but only
+  {-1, 0} at decim 2, where a late-by-1-sample window is *mathematically
+  indistinguishable* from a +1 bin error (1 sample = half a bin) — noise
+  tips the sync argmax by ±1 and the drift feedback then locks onto the
+  wrong interpretation. The fft demod reads the dechirped tone argmax and
+  is insensitive to ±decim/2 misalignment, so it is the sound choice for
+  low-decimation rates the reference never exercises.
 
 Scope notes: the fft engine supports explicit and implicit headers
 (implicit energy-stop evaluated on the static window grid); the gradient
@@ -91,8 +101,14 @@ class DenseReceiver:
         max_candidates: int = 8,
         max_symbols: int = 48,
         sfd_search: int = 12,
-        demod_method: str = "gradient",
+        demod_method: str = "auto",
     ):
+        if demod_method == "auto":
+            demod_method = (
+                "fft"
+                if config.implicit or config.decim_factor < 4
+                else "gradient"
+            )
         if config.implicit and demod_method != "fft":
             raise ValueError(
                 "dense implicit mode requires the fft engine (energy-stop "

@@ -45,10 +45,10 @@ assert jax.local_device_count() == 4
 
 cfg = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
 sps = cfg.samples_per_symbol
-# fft demod: robust at decim 2 (the gradient method is only validated at
-# the reference's canonical decim 8 — see lora_tpu/testsuite.py notes)
-rx = DenseReceiver(cfg, max_candidates=4, max_symbols=24, sfd_search=12,
-                   demod_method="fft")
+# demod "auto" resolves to fft at this rate (decim 2): the gradient
+# method's drift loop cannot disambiguate ±1 sample from ±1 bin below
+# decim 4 — see lora_tpu/rx/dense.py module docs
+rx = DenseReceiver(cfg, max_candidates=4, max_symbols=24, sfd_search=12)
 
 # deterministic stream, identical in every process: one packet per device
 # block (8 blocks of 64 symbols each)
