@@ -223,7 +223,12 @@ def downchirp_pearson(window, downchirp_ifreq, sps: int, xp=np):
     sx = xp.sqrt(xp.mean((x - mx) ** 2, axis=-1))
     sy = xp.sqrt(xp.mean((y - my) ** 2, axis=-1))
     num = xp.sum((x - mx) * (y - my), axis=-1)
-    return (num / (sx * sy) / n).astype("float32")
+    # A zero-variance window (e.g. all-zero padding) makes the reference
+    # compute NaN, which fails both the >0.96 and <-0.97 threshold tests;
+    # 0.0 fails them identically without the NaN propagating.
+    denom = sx * sy
+    c = xp.where(denom > 0, num / xp.where(denom > 0, denom, 1.0), 0.0)
+    return (c / n).astype("float32")
 
 
 def max_frequency_gradient_idx(window, n_bins: int, decim: int, xp=np):
