@@ -195,16 +195,21 @@ def upchirp_sync_coarse_fine(windows2, downchirp, upchirp_ifreq, sps: int,
 
     import jax
 
-    def one(row, bs):
-        seg = jax.lax.dynamic_slice(row, (bs,), (span + sps - 2,))
-        wins = jnp.stack([jax.lax.dynamic_slice(seg, (k,), (sps - 1,))
-                          for k in range(span)])
-        c = wins @ ref
-        return (bs + jnp.argmax(c)).astype(jnp.int32)
-
     flat = ifr.reshape((-1, ifr.shape[-1]))
     bflat = jnp.asarray(base0).reshape(-1)
-    idx = jax.vmap(one)(flat, bflat).reshape(b.shape)
+    seg_len = span + sps - 2
+    segs = jax.vmap(
+        lambda row, bs: jax.lax.dynamic_slice(row, (bs,), (seg_len,))
+    )(flat, bflat)  # [B, seg_len]
+    # all `span` lag dots at once: a VALID cross-correlation with the
+    # ideal-upchirp ifreq (conv_general_dilated correlates — no kernel
+    # flip), which XLA lowers to one im2col matmul instead of `span`
+    # per-lane gathers
+    c = jax.lax.conv_general_dilated(
+        segs[:, None, :], ref.reshape(1, 1, -1).astype(segs.dtype),
+        window_strides=(1,), padding="VALID",
+    )[:, 0, :]  # [B, span]
+    idx = (bflat + jnp.argmax(c, axis=-1)).astype(jnp.int32).reshape(b.shape)
     return idx, None
 
 

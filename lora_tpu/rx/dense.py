@@ -411,10 +411,16 @@ class DenseReceiver:
         """Packet region ``[pkt_samples]`` starting at sample ``start``.
 
         ``stream``: complex ``[L]`` (or packed float32 ``[2, L]``; the
-        leading plane axis is carried through). Samples past the end of
-        the stream read as zero — semantically identical to padding the
-        whole block, but only ``pkt_samples`` are ever touched, so the
-        full-block pad copy (2x the input HBM traffic) never happens.
+        leading plane axis is carried through). ``start`` is clamped to
+        ``L - pkt_samples``: a candidate whose region would cross the
+        block end reads a *shifted* region, so callers must mask such
+        lanes invalid (see ``_tail_ok``). This keeps the lane gather a
+        single contiguous dynamic-slice — the variable-shift roll +
+        zero-fill it replaces doubled the gather's HBM cost, to serve
+        only tail lanes that the streaming layer's ownership rule
+        discards anyway (lora_tpu/stream.py). Host entry points pad
+        their input by ``pkt_samples`` zeros instead, so whole-capture
+        decodes still see every tail packet.
         """
         pkt = self.pkt_samples
         L = stream.shape[-1]
@@ -422,12 +428,15 @@ class DenseReceiver:
             cfgp = [(0, 0)] * (stream.ndim - 1) + [(0, pkt - L)]
             stream = jnp.pad(stream, cfgp)
             L = pkt
-        start = start.astype(jnp.int32)
-        start_c = jnp.clip(start, 0, L - pkt)
-        raw = jax.lax.dynamic_slice_in_dim(stream, start_c, pkt, axis=-1)
-        shift = start - start_c  # >0 only for candidates near the tail
-        region = jnp.roll(raw, -shift, axis=-1)
-        return jnp.where(jnp.arange(pkt) < pkt - shift, region, 0)
+        start = jnp.clip(start.astype(jnp.int32), 0, L - pkt)
+        return jax.lax.dynamic_slice_in_dim(stream, start, pkt, axis=-1)
+
+    def _tail_ok(self, starts, L: int):
+        """Lanes whose packet region fits inside the block (see
+        ``_region_from``: clamped lanes decode a shifted region and must
+        be dropped)."""
+        L_eff = max(L, self.pkt_samples)
+        return starts * self.sps + self.pkt_samples <= L_eff
 
     def _build(self):
         sps = self.sps
@@ -451,7 +460,11 @@ class DenseReceiver:
             corr, e1, e2 = metrics
             starts, s_valid = candidate_starts(corr, 0.90, self.P)
             starts = starts + 1  # see process_complex
-            noise = jnp.min(e1, axis=-1, keepdims=True)
+            s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
+            # noise floor: min window energy over *non-silent* windows
+            # (zero-padded tails would otherwise zero the floor)
+            noise = jnp.min(jnp.where(e1 > 0, e1, jnp.inf), axis=-1,
+                            keepdims=True)
             sig = jnp.take_along_axis(
                 e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1
             )
@@ -483,7 +496,12 @@ class DenseReceiver:
         """Trace-time core on complex IQ ``[..., L]`` — call inside jit
         (e.g. fused behind an on-device channelizer). ``metrics``: optional
         precomputed ``(corr, e1, e2)`` detection metrics (the packed-input
-        entry uses the single-pass Pallas kernel)."""
+        entry uses the single-pass Pallas kernel).
+
+        Tail contract: candidates within the last ``pkt_samples`` are
+        invalidated (see ``_region_from``); give the block ``pkt_samples``
+        of tailroom (zeros or the next block's halo) to decode packets
+        ending near the block edge."""
         sps = self.sps
         if self.cfg.conj:
             x = jnp.conj(x)
@@ -497,8 +515,10 @@ class DenseReceiver:
         # later is guaranteed fully inside the >=8-symbol preamble and
         # the sfd_search budget covers the extra symbol.
         starts = starts + 1
-        # SNR estimate: packet energy / noise-floor proxy (min window energy)
-        noise = jnp.min(e1, axis=-1, keepdims=True)
+        s_valid = s_valid & self._tail_ok(starts, x.shape[-1])
+        # SNR estimate: packet energy / noise-floor proxy (min non-silent
+        # window energy; see process)
+        noise = jnp.min(jnp.where(e1 > 0, e1, jnp.inf), axis=-1, keepdims=True)
         sig = jnp.take_along_axis(e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1)
         snr = sig / jnp.maximum(noise, 1e-30)
 
@@ -544,6 +564,7 @@ class DenseReceiver:
         corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
         starts, s_valid = candidate_starts(corr, 0.90, per_channel)  # [C, Pc]
         starts = starts + 1  # see process_complex
+        s_valid = s_valid & self._tail_ok(starts, x.shape[-1])
 
         # compact: strongest `pool` valid (channel, window) pairs. Ranking
         # by window energy (not arrival order) matters: the normalized
@@ -562,7 +583,7 @@ class DenseReceiver:
         win = starts.reshape(-1)[order]
         lane_valid = flat_valid[order]
 
-        noise = jnp.min(e1, axis=-1)  # [C]
+        noise = jnp.min(jnp.where(e1 > 0, e1, jnp.inf), axis=-1)  # [C]
         sig = score[order]
         snr = sig / jnp.maximum(noise[chan], 1e-30)
 
@@ -585,11 +606,19 @@ class DenseReceiver:
     # ------------------------------------------------------------------
     def process(self, x) -> DenseResult:
         """Run the pipeline. ``x`` may be host complex IQ, host packed
-        float32 ``[..., 2, L]``, or an already-on-device packed array."""
+        float32 ``[..., 2, L]``, or an already-on-device packed array.
+
+        Host *complex* input is padded by ``pkt_samples`` zeros so
+        packets ending at the capture tail keep a full decode region
+        (device/packed input is assumed to come from the streaming or
+        bench paths, whose blocking already guarantees this — see
+        ``_region_from``).
+        """
         if not isinstance(x, jax.Array):
             x = np.asarray(x)
             if np.iscomplexobj(x):
-                x = xfer.pack_iq(x.astype(np.complex64))
+                pad = [(0, 0)] * (x.ndim - 1) + [(0, self.pkt_samples)]
+                x = xfer.pack_iq(np.pad(x.astype(np.complex64), pad))
         return self._process(x)
 
     def run(self, x, channel_offset: int = 0) -> List[Frame]:

@@ -108,8 +108,25 @@ class StreamingReceiver:
         return self._collect()
 
     def flush(self) -> List[Frame]:
-        """End of stream: process the tail (zero-padded) and drain."""
+        """End of stream: process the tail (zero-padded) and drain.
+
+        A halo of zeros is appended first so a packet ending right at the
+        stream tail keeps a full decode region in its owning block
+        (candidates whose region crosses the block end are invalid — see
+        DenseReceiver._region_from; zeros produce no candidates of their
+        own)."""
         self._eof = True
+        zeros = np.zeros(self.halo, np.complex64)
+        if self._ring is not None:
+            raw = zeros.tobytes()
+            off = 0
+            while off < len(raw):
+                wrote = self._ring.write(raw[off:])
+                off += wrote
+                if wrote == 0:
+                    self._pump(force=True)
+        else:
+            self._buf = np.concatenate([self._buf, zeros])
         self._pump()
         tail = self._take(self._buffered, consume=self._buffered)
         if len(tail):

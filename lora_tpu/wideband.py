@@ -83,11 +83,14 @@ class WidebandReceiver:
     # ------------------------------------------------------------------
     def process(self, x) -> DenseResult:
         """``x``: host complex wideband IQ ``[L]`` (or packed float32
-        ``[2, L]`` / device array)."""
+        ``[2, L]`` / device array). Host complex input is padded by one
+        packet region of *wideband* samples so channel-rate tails keep a
+        full decode region (see DenseReceiver._region_from)."""
         if not isinstance(x, jax.Array):
             x = np.asarray(x)
             if np.iscomplexobj(x):
-                x = xfer.pack_iq(x.astype(np.complex64))
+                pad = self.rx.pkt_samples * self.M
+                x = xfer.pack_iq(np.pad(x.astype(np.complex64), (0, pad)))
         return self._process(x)
 
     def run(self, x) -> List[Frame]:

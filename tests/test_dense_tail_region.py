@@ -1,7 +1,9 @@
-"""Regression for the packed-plane region gather (dense Phase B): a
-packet whose candidate region extends past the block end must still
-decode when the packet itself fits — the clamped-slice + roll gather has
-to reproduce zero-padded tail semantics exactly."""
+"""Regression for the packed-plane region gather (dense Phase B) tail
+contract: host *complex* input is padded by ``pkt_samples`` so a packet
+whose candidate region extends past the capture end still decodes when
+the packet itself fits; pre-packed input (streaming/bench paths) must
+provide its own tailroom — region-crossing candidates are invalidated,
+never decoded from a shifted (clamped) region."""
 
 import numpy as np
 
@@ -24,12 +26,17 @@ def test_packet_near_block_end_decodes():
     start = L - len(pkt) - sps
     x = np.zeros(L, np.complex64)
     x[start : start + len(pkt)] = pkt
-    res = rx.process(pack_iq(x[None]))
+    # host complex entry: padded internally, the tail packet decodes
+    res = rx.process(x[None])
     valid = np.asarray(res.valid)[0]
     pay = np.asarray(res.payload)[0]
     ln = np.asarray(res.length)[0]
     got = [bytes(pay[k][: ln[k]])[:2] for k in np.nonzero(valid)[0]]
     assert got == [b"\xab\xcd"]
+    # pre-packed entry without tailroom: the region-crossing candidate is
+    # invalidated (clamped-region decodes must never surface)
+    res = rx.process(pack_iq(x[None]))
+    assert not np.asarray(res.valid).any()
 
 
 def test_preamble_only_tail_not_decoded():

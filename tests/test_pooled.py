@@ -77,6 +77,8 @@ def test_pooled_direct_multichannel():
     import jax
 
     rx = DenseReceiver(cfg, max_candidates=2, max_symbols=16, sfd_search=12)
+    # trace-time core: caller provides the tailroom (host entries pad)
+    xs = np.pad(xs, ((0, 0), (0, rx.pkt_samples)))
     fn = jax.jit(lambda xc: rx.process_pooled(xc, pool=6))
     res = jax.device_get(fn(jax.numpy.asarray(xs)))
     valid = np.asarray(res.valid)

@@ -33,6 +33,8 @@ def test_channel_sharded(small_setup):
     cfg, rx, pkt = small_setup
     mesh = make_mesh(8)
     stream = np.concatenate([pkt, pkt]).astype(np.complex64)
+    # trace-time core contract: pkt_samples of tailroom (host entries pad)
+    stream = np.pad(stream, (0, rx.pkt_samples))
     x = np.stack([np.roll(stream, 31 * c) for c in range(8)]).astype(np.complex64)
     fn = channel_sharded_process(rx, mesh)
     res = jax.device_get(fn(pack_iq(x)))
