@@ -88,6 +88,66 @@ def payload_symbol_budget(length_with_crc, cr, sf: int, reduced_rate: bool, xp):
     return (xp.ceil(symbols_needed / spb) * spb).astype("int32")
 
 
+def make_payload_nibble_lut(n_codewords: int) -> np.ndarray:
+    """Fused deshuffle+dewhiten+FEC table for :func:`decode_payload_lut`.
+
+    The payload tail (reference lib/decoder_impl.cc:567-706) maps each
+    codeword byte through three per-position-constant steps — the
+    ``{5,0,1,2,4,3,6,7}`` deshuffle, the whitening XOR, and either the
+    Hamming(8,4) syndrome decode (CR 4/7-4/8) or the data-bit extraction
+    (CR 4/5-4/6). Composed, that is one 256-entry nibble table per
+    (variant, codeword position):
+
+    ``lut[v, k, c] = f_v(deshuffle(c) ^ prng_v[k])``
+
+    with ``v=0`` the raw/CR<=2 variant (prng_cr56 + extract) and ``v=1``
+    the Hamming/CR>=3 variant (prng_cr78 + HLUT). Returns int32
+    ``[2, n_codewords, 256]`` (512 KB at 256 codewords) — turning the
+    decode tail's ~2 dozen tiny int ops into a single gather, which
+    matters because the per-lane arrays are small enough that the tail is
+    dispatch-bound, not FLOP-bound (docs/perf/NOTES.md headroom #2).
+    """
+    c = np.arange(256, dtype=np.int32)
+    desh = bits.deshuffle(c, xp=np)
+    t56, t78 = payload_prng(n_codewords)
+    lut = np.zeros((2, n_codewords, 256), np.int32)
+    lut[0] = bits.extract_data_only(desh[None, :] ^ t56[:, None], xp=np)
+    lut[1] = _HAM_LUT_I32[desh[None, :] ^ t78[:, None]]
+    return lut
+
+
+def decode_payload_lut(codewords, n_valid, cr, lut, xp):
+    """:func:`decode_payload` via the fused table — bit-identical output.
+
+    ``lut`` must be ``make_payload_nibble_lut(CW)`` (as a device or host
+    constant) for ``CW = codewords.shape[-1]``. Shapes/dtypes as in
+    :func:`decode_payload`.
+    """
+    CW = codewords.shape[-1]
+    idx = np.arange(CW, dtype=np.int32)
+    v = (cr >= 3).astype("int32")
+    flat = (
+        v[..., None] * np.int32(CW * 256)
+        + xp.asarray(idx * 256)
+        + (codewords & 0xFF)
+    )
+    nib = xp.take(xp.asarray(lut).reshape(-1), flat)
+    # positions >= n_valid decode a zero byte (decode_payload zeroes
+    # `dewhitened` there): extract(0) = 0, HLUT[0] = hamming nibble of 0
+    nib0 = xp.where(cr >= 3, np.int32(_HAM_LUT_I32[0]), np.int32(0))
+    nib = xp.where(xp.asarray(idx) < n_valid[..., None], nib, nib0[..., None])
+    if CW % 2:
+        pad = [(0, 0)] * (nib.ndim - 1) + [(0, 1)]
+        nib = xp.pad(nib, pad, constant_values=0)
+        nib = xp.where(  # the pad nibble is nib0, as in decode_payload
+            xp.asarray(np.arange(CW + 1) == CW), nib0[..., None], nib
+        )
+    # both variants pack as (odd << 4) | even: the Hamming path's
+    # (n0<<4|n1) + swap_nibbles == the raw path's (second<<4 | first)
+    b = (nib[..., 1::2] << 4) | nib[..., 0::2]
+    return xp.where((cr >= 1)[..., None], b, 0).astype("int32")
+
+
 def decode_payload(codewords, n_valid, cr, xp):
     """decode(false) over the full masked codeword buffer.
 

@@ -82,13 +82,76 @@ def _det_call(xr, T: int, interpret: bool):
     return corr.reshape(C, K1), ener.reshape(C, K1)
 
 
-def detection_metrics_pallas(xf, sps: int, interpret: bool = False):
+def _det_kernel_pp(r_ref, i_ref, rn_ref, in_ref, corr_ref, ener_ref):
+    r = r_ref[0, :, :]       # [T, sps]
+    im = i_ref[0, :, :]
+    rn = jnp.concatenate([r[1:], rn_ref[0, 0:1, :]], axis=0)
+    imn = jnp.concatenate([im[1:], in_ref[0, 0:1, :]], axis=0)
+    dot_re = jnp.sum(r * rn + im * imn, axis=1)
+    dot_im = jnp.sum(im * rn - r * imn, axis=1)
+    e = jnp.sum(r * r + im * im, axis=1)
+    en = jnp.sum(rn * rn + imn * imn, axis=1)
+    denom = jnp.sqrt(e * en)
+    mag = jnp.sqrt(dot_re * dot_re + dot_im * dot_im)
+    corr_ref[0, 0, 0, :] = jnp.where(denom > 0, mag / jnp.where(denom > 0, denom, 1.0), 0.0)
+    ener_ref[0, 0, 0, :] = e
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _det_call_pp(xr, T: int, interpret: bool):
+    """Per-plane-block variant: each input block is ONE fully contiguous
+    ``[T, sps]`` chunk of a plane row (vs the two-chunk ``[2, T, sps]``
+    blocks of ``_det_call``), which reaches the measured contiguous-DMA
+    bandwidth tier (docs/perf/NOTES.md: 230 GB/s vs 140 GB/s)."""
+    C, _, K1, sps = xr.shape
+    nb = K1 // T
+    grid = (C, nb)
+    x3 = xr.reshape(C * 2, K1, sps)  # layout-preserving (K1, T mult. of 8)
+    kernel = pl.pallas_call(
+        _det_kernel_pp,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, T, sps), lambda c, i: (2 * c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, sps), lambda c, i: (2 * c + 1, i, 0),
+                         memory_space=pltpu.VMEM),
+            # first row of the next chunk (clamped at the last) for the
+            # chunk-crossing window; 8-row block for the (8,128) f32 tiling
+            pl.BlockSpec(
+                (1, 8, sps),
+                lambda c, i: (2 * c, jnp.minimum((i + 1) * T // 8, K1 // 8 - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 8, sps),
+                lambda c, i: (2 * c + 1, jnp.minimum((i + 1) * T // 8, K1 // 8 - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, T), lambda c, i: (c, i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, T), lambda c, i: (c, i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((C, nb, 1, T), jnp.float32),
+            jax.ShapeDtypeStruct((C, nb, 1, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    corr, ener = kernel(x3, x3, x3, x3)
+    return corr.reshape(C, K1), ener.reshape(C, K1)
+
+
+def detection_metrics_pallas(xf, sps: int, interpret: bool = False,
+                             variant: str = "pp"):
     """Single-pass detection metrics on packed IQ ``[..., 2, L]``.
 
     Returns ``(corr, e1, e2)`` each ``[..., K]`` with ``K = L//sps - 1`` —
     identical to :func:`lora_tpu.rx.frontend.detection_metrics`.
     Falls back to the XLA planes path when the geometry doesn't tile
     (``sps`` not a lane multiple or no T divides the window count).
+    ``variant``: ``"pp"`` per-plane contiguous blocks (default, fastest
+    measured), ``"tile"`` the two-chunk ``[2, T, sps]`` block kernel.
     """
     from ..rx.frontend import detection_metrics_planes
 
@@ -112,7 +175,8 @@ def detection_metrics_pallas(xf, sps: int, interpret: bool = False):
 
     C = int(np.prod(lead)) if lead else 1
     xr = xf[..., : K1 * sps].reshape(C, 2, K1, sps)
-    corr_full, ener = _det_call(xr, T, interpret)
+    call = _det_call_pp if variant == "pp" else _det_call
+    corr_full, ener = call(xr, T, interpret)
     corr = corr_full[:, :K].reshape(lead + (K,))
     e1 = ener[:, :K].reshape(lead + (K,))
     e2 = ener[:, 1:].reshape(lead + (K,))

@@ -143,6 +143,7 @@ class DenseReceiver:
         # per-packet region: sync(2) + sfd_search + 2.25 + 8 hdr + S payload
         self.pkt_samples = (self.F + 13 + self.S) * self.sps
         self._deint_tables = self._build_deint_tables()
+        self._pay_luts = {}  # codeword-count -> fused decode-tail table
         self.process_fn = self._build()   # un-jitted (for shard_map wrapping)
         self._process = jax.jit(self.process_fn)
 
@@ -316,7 +317,10 @@ class DenseReceiver:
         n_blocks = jnp.maximum(n_data - 8, 0) // blk
         n_cw = ppm_hdr + n_blocks * ppm_pay
         paylen = n_cw // 2
-        decoded = dec.decode_payload(codewords, n_cw, jnp.int32(cr), xp=jnp)
+        decoded = dec.decode_payload_lut(
+            codewords, n_cw, jnp.int32(cr), self._payload_lut(codewords.shape[-1]),
+            xp=jnp,
+        )
         pay = jnp.zeros(MAX_PAYLOAD, jnp.uint8)
         m = min(MAX_PAYLOAD, decoded.shape[-1])
         pay = pay.at[:m].set(
@@ -362,6 +366,12 @@ class DenseReceiver:
                     mask[v, k, i] = 1
         return src, shift, mask
 
+    def _payload_lut(self, n_codewords: int):
+        """Cached fused decode-tail table (see dec.make_payload_nibble_lut)."""
+        if n_codewords not in self._pay_luts:
+            self._pay_luts[n_codewords] = dec.make_payload_nibble_lut(n_codewords)
+        return self._pay_luts[n_codewords]
+
     def _finish_decode(self, words, sfd_ok):
         """Shared tail: header parse + payload decode from ``[8+S]`` words."""
         cfg = self.cfg
@@ -392,7 +402,9 @@ class DenseReceiver:
         n_blocks = budget // jnp.maximum(cr + 4, 1)
         n_cw = (ppm_hdr - 5) + n_blocks * ppm_pay
 
-        decoded = dec.decode_payload(codewords, n_cw, cr, xp=jnp)
+        decoded = dec.decode_payload_lut(
+            codewords, n_cw, cr, self._payload_lut(codewords.shape[-1]), xp=jnp
+        )
         pay = jnp.zeros(MAX_PAYLOAD, jnp.uint8)
         m = min(MAX_PAYLOAD, decoded.shape[-1])
         pay = pay.at[:m].set(

@@ -88,3 +88,22 @@ def test_nibble_packing():
     assert list(lo) == [0xBA, 0xDC]
     assert np.all(bits.unpack_bytes_to_nibbles(hi, high_first=True) == n)
     assert np.all(bits.unpack_bytes_to_nibbles(lo, high_first=False) == n)
+
+
+def test_decode_payload_lut_matches_reference_chain():
+    """The fused deshuffle+dewhiten+FEC table (ops/decode.py
+    make_payload_nibble_lut) must be bit-identical to the step-by-step
+    decode_payload for every CR, odd/even codeword counts, and any
+    n_valid."""
+    from lora_tpu.ops import decode as dec
+
+    rng = np.random.default_rng(42)
+    for CW in (7, 28, 55, 256):
+        lut = dec.make_payload_nibble_lut(CW)
+        cw = rng.integers(0, 1 << 12, size=(6, CW)).astype(np.int32)
+        n_valid = rng.integers(0, CW + 1, size=6).astype(np.int32)
+        for cr in range(5):
+            crv = np.full(6, cr, np.int32)
+            ref = dec.decode_payload(cw, n_valid, crv, xp=np)
+            got = dec.decode_payload_lut(cw, n_valid, crv, lut, xp=np)
+            assert np.array_equal(ref, got), (CW, cr)

@@ -13,12 +13,14 @@ from lora_tpu.ops.pallas_kernels import detection_metrics_pallas
 from lora_tpu.rx.frontend import detection_metrics_planes
 
 
+@pytest.mark.parametrize("variant", ["tile", "pp"])
 @pytest.mark.parametrize("sps,k1", [(1024, 64), (8192, 16), (32768, 8)])
-def test_kernel_matches_planes_across_geometries(sps, k1):
+def test_kernel_matches_planes_across_geometries(sps, k1, variant):
     rng = np.random.default_rng(int(sps))
     xf = rng.normal(size=(2, 2, k1 * sps)).astype(np.float32)
     c0, e10, e20 = detection_metrics_planes(xf, sps)
-    c1, e11, e21 = detection_metrics_pallas(xf, sps, interpret=True)
+    c1, e11, e21 = detection_metrics_pallas(xf, sps, interpret=True,
+                                            variant=variant)
     np.testing.assert_allclose(np.asarray(c1), np.asarray(c0), atol=2e-5)
     np.testing.assert_allclose(np.asarray(e11), np.asarray(e10), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(e21), np.asarray(e20), rtol=1e-5)
