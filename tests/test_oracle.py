@@ -1,0 +1,241 @@
+"""Cross-validation against the reference's COMPILED code (external oracle).
+
+Builds ``tests/oracle/reference_oracle.cpp`` with g++, including the
+reference's own headers straight from ``/root/reference`` (no code copied
+into this repo), then fuzzes this repo's integer decode chain against the
+reference's actual compiled functions:
+
+- Hamming(8,4) encode/decode tables (utilities.h:257-264, :288-339)
+- whitening PRNG sequences (lib/tables.h)
+- rotl / select_bits / swap_nibbles / deshuffle semantics (utilities.h)
+- the full words -> deinterleave -> deshuffle -> dewhiten -> FEC -> bytes
+  chain for headers and payloads over all CRs and random blocks
+  (decoder_impl.cc:535-706 structure driven through utilities.h primitives)
+
+This converts the repo's self-round-trip evidence (own modulator feeding own
+demodulator) into reference-exact evidence for the entire integer half of
+the receiver. The analog half (chirp demod) is validated separately by the
+golden receiver's line-cited mirror plus the suite reports.
+
+Skipped when /root/reference or g++ is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+SRC = os.path.join(os.path.dirname(__file__), "oracle", "reference_oracle.cpp")
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isdir(REF) and shutil.which("g++")),
+    reason="reference tree or g++ unavailable",
+)
+
+
+@pytest.fixture(scope="session")
+def oracle(tmp_path_factory):
+    binary = tmp_path_factory.mktemp("oracle") / "reference_oracle"
+    subprocess.run(
+        [
+            "g++", "-O2", "-std=c++17",
+            f"-I{REF}/include", f"-I{REF}/lib",
+            "-o", str(binary), SRC,
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+    def run(mode, *args, stdin: str = "") -> list[list[int]]:
+        out = subprocess.run(
+            [str(binary), mode, *map(str, args)],
+            input=stdin,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return [[int(t) for t in line.split()] for line in out.strip().splitlines()]
+
+    return run
+
+
+def test_hamming_encode_table_matches_reference(oracle):
+    from lora_tpu.ops.hamming import HAMMING84_ENCODE_LUT
+
+    (ref,) = oracle("enc_table")
+    assert ref == list(HAMMING84_ENCODE_LUT)
+
+
+def test_hamming_decode_table_matches_reference(oracle):
+    from lora_tpu.ops.hamming import HAMMING84_DECODE_LUT
+
+    (ref,) = oracle("dec_table")
+    assert ref == list(HAMMING84_DECODE_LUT)
+
+
+def test_hamming_roundtrip_with_reference_encoder(oracle):
+    """Repo decode corrects every 0/1-bit error of the REFERENCE encoder."""
+    from lora_tpu.ops.hamming import hamming84_decode
+
+    (enc,) = oracle("enc_table")
+    for v in range(16):
+        assert int(hamming84_decode(np.uint8(enc[v]))) == v
+        for flip in range(8):
+            assert int(hamming84_decode(np.uint8(enc[v] ^ (1 << flip)))) == v
+
+
+def test_whitening_tables_match_reference(oracle):
+    from lora_tpu.tables import PRNG_HEADER, PRNG_PAYLOAD_CR56, PRNG_PAYLOAD_CR78
+
+    hdr, cr56, cr78 = oracle("prng")
+    for ref_line, mine in ((hdr, PRNG_HEADER), (cr56, PRNG_PAYLOAD_CR56), (cr78, PRNG_PAYLOAD_CR78)):
+        n, ref = ref_line[0], ref_line[1:]
+        assert n == len(mine)
+        assert ref == [int(x) for x in mine]
+
+
+def test_rotl_fuzz_matches_reference(oracle):
+    from lora_tpu.ops import bits
+
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 2**16, 500)
+    counts = rng.integers(0, 40, 500)
+    sizes = rng.integers(1, 17, 500)
+    stdin = "\n".join(f"{v} {c} {s}" for v, c, s in zip(vals, counts, sizes))
+    (ref,) = oracle("rotl", stdin=stdin)
+    for v, c, s, r in zip(vals, counts, sizes, ref):
+        assert int(bits.rotl(np.uint32(v), int(c), int(s))) == r, (v, c, s)
+
+
+def test_bit_tables_match_reference(oracle):
+    from lora_tpu.ops import bits
+
+    v = np.arange(256, dtype=np.int64)
+    (swap,) = oracle("swap_table")
+    assert swap == list(bits.swap_nibbles(v))
+    (extract,) = oracle("extract_table")
+    assert extract == list(bits.extract_data_only(v))
+    (desh,) = oracle("deshuffle_table")
+    assert desh == list(bits.deshuffle(v))
+
+
+@pytest.mark.parametrize("sf", [6, 7, 12])
+def test_gray_matches_reference(oracle, sf):
+    from lora_tpu.ops import bits
+
+    (ref,) = oracle("gray_table", sf)
+    b = np.arange(1 << sf, dtype=np.int64)
+    assert ref == list(bits.gray_encode(b))
+    # and the tx-side inverse really inverts the reference's mapping
+    assert list(bits.gray_decode(np.asarray(ref), sf)) == list(b)
+
+
+def test_parity_matches_reference(oracle):
+    (ref,) = oracle("parity")
+    mine = [int(bin(v).count("1") % 2 == 0) for v in range(256)]
+    assert ref == mine
+
+
+def _oracle_stdin(is_header: bool, cr: int, skip_rows: int, blocks):
+    """blocks: list of (ppm, words array)."""
+    lines = [f"{int(is_header)} {cr} {skip_rows} {len(blocks)}"]
+    for ppm, words in blocks:
+        lines.append(f"{ppm} {len(words)} " + " ".join(str(int(w)) for w in words))
+    return "\n".join(lines)
+
+
+def _decode_repo(blocks, is_header: bool, cr: int, skip_rows: int):
+    """Run the repo's jit-chain (ops/decode.py) on oracle-matching inputs."""
+    from lora_tpu.ops import decode as dec
+
+    rows = [
+        dec.deinterleave_words(
+            np.asarray(w, np.int32), np.int32(len(w)), ppm, np
+        )
+        for ppm, w in blocks
+    ]
+    dem = np.concatenate(rows).astype(np.int32)[skip_rows:]
+    if is_header:
+        out = dec.decode_header(dem[None, :5], np)[0]
+        return [int(x) for x in out]
+    n_valid = np.asarray([len(dem)], np.int32)
+    out = dec.decode_payload(dem[None, :], n_valid, np.asarray([cr], np.int32), np)[0]
+    return [int(x) for x in out]
+
+
+def test_header_decode_chain_matches_reference(oracle):
+    """Random 8-word header blocks through both chains, all SFs."""
+    rng = np.random.default_rng(1)
+    for sf in (7, 8, 9, 10, 11, 12):
+        ppm = sf - 2  # header is always reduced-rate (decoder_impl.cc:507)
+        for _ in range(20):
+            words = rng.integers(0, 1 << ppm, 8, dtype=np.int64)
+            blocks = [(ppm, words)]
+            (ref,) = oracle("decode_block", stdin=_oracle_stdin(True, 4, 0, blocks))
+            mine = _decode_repo(blocks, True, 4, 0)
+            n = min(len(ref), len(mine))
+            assert mine[:n] == ref[:n], (sf, words)
+
+
+@pytest.mark.parametrize("cr", [1, 2, 3, 4])
+def test_payload_decode_chain_matches_reference(oracle, cr):
+    """Random multi-block payloads (with header-block leftover rows, as the
+    reference accumulates them) through both chains, SF7..SF12."""
+    rng = np.random.default_rng(2 + cr)
+    n_words = 4 + cr
+    for sf in (7, 9, 12):
+        for n_blocks in (1, 2, 5):
+            hdr_words = rng.integers(0, 1 << (sf - 2), 8, dtype=np.int64)
+            blocks = [(sf - 2, hdr_words)] + [
+                (sf, rng.integers(0, 1 << sf, n_words, dtype=np.int64))
+                for _ in range(n_blocks)
+            ]
+            stdin = _oracle_stdin(False, cr, 5, blocks)
+            (ref,) = oracle("decode_block", stdin=stdin)
+            mine = _decode_repo(blocks, False, cr, 5)
+            n = min(len(ref), len(mine))
+            assert mine[:n] == ref[:n], (sf, cr, n_blocks)
+
+
+@pytest.mark.parametrize("sf,cr", [(7, 4), (8, 1), (9, 2), (10, 3), (12, 4)])
+def test_tx_frame_decoded_by_reference_chain(oracle, sf, cr):
+    """A full modulator frame, decoded by the ORACLE, yields the original
+    header fields and payload+CRC — breaking the self-round-trip circularity
+    for the entire integer chain (tx gray/interleave/shuffle/whiten/hamming
+    conventions validated against the reference's compiled decode)."""
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.io.frames import mac_crc
+    from lora_tpu.ops import bits
+    from lora_tpu.tx.modulator import encode_frame_symbols
+
+    payload = bytes(range(3 + sf)) + b"\xde\xad\xbe\xef"
+    cfg = LoRaConfig(sf=sf, cr=cr, crc=True)
+    bins, ppm_pay = encode_frame_symbols(cfg, payload)
+    # demodulate() gray-encodes the measured bin (decoder_impl.cc:512);
+    # header bins are already reduced-range here
+    words = np.asarray(bits.gray_encode(np.asarray(bins)), np.int64)
+    hdr_words, pay_words = words[:8], words[8:]
+    n_words = 4 + cr
+    assert len(pay_words) % n_words == 0
+    pay_blocks = [
+        (ppm_pay, pay_words[i : i + n_words])
+        for i in range(0, len(pay_words), n_words)
+    ]
+
+    # header: reference chain decodes 3 header bytes
+    (hdr,) = oracle(
+        "decode_block", stdin=_oracle_stdin(True, 4, 0, [(sf - 2, hdr_words)])
+    )
+    assert hdr[0] == len(payload)
+    assert (hdr[1] >> 5) & 0x7 == cr
+    assert (hdr[1] >> 4) & 0x1 == 1
+    # payload: header-block leftovers + payload blocks, first 5 rows dropped
+    blocks = [(sf - 2, hdr_words)] + pay_blocks
+    (ref,) = oracle("decode_block", stdin=_oracle_stdin(False, cr, 5, blocks))
+    expected = payload + mac_crc(payload)
+    assert bytes(ref[: len(expected)]) == expected
