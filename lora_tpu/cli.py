@@ -72,6 +72,7 @@ def cmd_testsuite(args) -> int:
     results = run_suite(
         args.path, args.suites, reports_path=args.reports,
         engine=args.engine, write_output=not args.nowrite,
+        report_suffix="" if args.engine == "golden" else f"_{args.engine}",
     )
     return 0 if all(v >= args.min_accuracy for v in results.values()) else 1
 

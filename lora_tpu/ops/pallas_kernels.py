@@ -155,6 +155,8 @@ def detection_metrics_pallas(xf, sps: int, interpret: bool = False,
     """
     from ..rx.frontend import detection_metrics_planes
 
+    if variant not in ("pp", "tile"):
+        raise ValueError(f"unknown detection kernel variant: {variant!r}")
     lead = xf.shape[:-2]
     L = xf.shape[-1]
     K1 = L // sps
@@ -168,16 +170,38 @@ def detection_metrics_pallas(xf, sps: int, interpret: bool = False,
     budget = 14 * 1024 * 1024
     t_max = (budget - 128 * sps) // (24 * sps)
     for T in (256, 128, 64, 32, 16, 8):
-        if T <= t_max and K1 % T == 0:
+        if T <= t_max:
             break
     else:
         return detection_metrics_planes(xf, sps)
+    # ragged window counts: the kernel covers the largest T-multiple of
+    # rows; the <=T-1 remainder windows run through the XLA planes math
+    # on a small tail slice (channelizer outputs rarely tile exactly)
+    K1r = (K1 // T) * T
+    if K1r < 2:
+        return detection_metrics_planes(xf, sps)
 
     C = int(np.prod(lead)) if lead else 1
-    xr = xf[..., : K1 * sps].reshape(C, 2, K1, sps)
+    xb = xf[..., : K1r * sps].reshape(C, 2, K1r, sps)
     call = _det_call_pp if variant == "pp" else _det_call
-    corr_full, ener = call(xr, T, interpret)
-    corr = corr_full[:, :K].reshape(lead + (K,))
+    corr_b, ener_b = call(xb, T, interpret)  # valid: corr [:K1r-1], ener [:K1r]
+    if K1r == K1:
+        corr = corr_b[:, :K]
+        ener = ener_b
+    else:
+        tail = xf[..., (K1r - 1) * sps : K1 * sps].reshape(
+            C, 2, K1 - K1r + 1, sps
+        )
+        r, i = tail[:, 0], tail[:, 1]
+        dot_re = jnp.sum(r[:, :-1] * r[:, 1:] + i[:, :-1] * i[:, 1:], axis=-1)
+        dot_im = jnp.sum(i[:, :-1] * r[:, 1:] - r[:, :-1] * i[:, 1:], axis=-1)
+        e_rows = jnp.sum(r * r + i * i, axis=-1)  # [C, K1-K1r+1]
+        denom = jnp.sqrt(e_rows[:, :-1] * e_rows[:, 1:])
+        mag = jnp.sqrt(dot_re * dot_re + dot_im * dot_im)
+        corr_t = jnp.where(denom > 0, mag / jnp.where(denom > 0, denom, 1.0), 0.0)
+        corr = jnp.concatenate([corr_b[:, : K1r - 1], corr_t], axis=-1)  # [C, K]
+        ener = jnp.concatenate([ener_b[:, :K1r], e_rows[:, 1:]], axis=-1)  # [C, K1]
+    corr = corr.reshape(lead + (K,))
     e1 = ener[:, :K].reshape(lead + (K,))
-    e2 = ener[:, 1:].reshape(lead + (K,))
+    e2 = ener[:, 1 : K + 1].reshape(lead + (K,))
     return corr, e1, e2

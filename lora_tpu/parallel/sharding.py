@@ -141,7 +141,8 @@ def wideband_time_sharded_process(wideband, mesh: Mesh, axis: str = "dev",
         ext = jnp.concatenate([xb, from_right], axis=-1)
         x = jax.lax.complex(ext[0], ext[1])
         chans = wideband.pfb(x)  # [M, (Lb + halo)/M - K + 1]
-        res = rx.process_complex(chans)
+        cp = jnp.stack([jnp.real(chans), jnp.imag(chans)], axis=-2)
+        res = rx.process_planes(cp)
         own = res.start < (xb.shape[-1] // M)
         return DenseResult(
             valid=(res.valid & own)[None],

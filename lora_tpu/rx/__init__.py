@@ -8,4 +8,8 @@
   detection metrics over all windows, then per-candidate packet decode.
 """
 
-from .golden import GoldenReceiver  # noqa: F401
+from ..xla_cache import ensure_compilation_cache
+
+ensure_compilation_cache()
+
+from .golden import GoldenReceiver  # noqa: F401,E402

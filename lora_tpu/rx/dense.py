@@ -450,59 +450,133 @@ class DenseReceiver:
         L_eff = max(L, self.pkt_samples)
         return starts * self.sps + self.pkt_samples <= L_eff
 
-    def _build(self):
+    def _metrics_planes(self, xf):
+        """Detection metrics on packed planes: the single-pass Pallas
+        kernel on TPU, the fused XLA planes path elsewhere. The metric is
+        conj-invariant (|dot| and energies are unchanged under x -> x*),
+        so downlink (conj) configs use the same kernel."""
+        if jax.default_backend() == "tpu":
+            from ..ops.pallas_kernels import detection_metrics_pallas
+
+            return detection_metrics_pallas(xf, self.sps)
+        return detection_metrics_planes(xf, self.sps)
+
+    def _snr_from_energy(self, e1, starts):
+        """Per-candidate SNR via the reference's power-queue method
+        (lib/decoder_impl.cc:360,377-383): ``determine_snr`` divides the
+        firing DETECT window's mean power (queue back) by the window
+        ``MAX_PWR_QUEUE_SIZE-1 = 3`` DETECT consumes earlier (queue
+        front). ``starts`` here is the rising edge + 1 while the
+        reference fires on the first >=0.90 window (the edge itself), so
+        noise sits at ``starts - 4`` (clamped at the block head, where
+        the reference's queue would be equally short)."""
+        K = e1.shape[-1]
+        sig = jnp.take_along_axis(e1, jnp.minimum(starts, K - 1), axis=-1)
+        noise = jnp.take_along_axis(e1, jnp.clip(starts - 4, 0, K - 1), axis=-1)
+        return (sig / jnp.maximum(noise, 1e-30)).astype(jnp.float32)
+
+    def process_planes(self, xf, metrics=None):
+        """Trace-time core on packed IQ float32 ``[..., 2, L]`` ->
+        DenseResult.
+
+        (Packed input keeps complex64 off the host<->device boundary;
+        see :mod:`lora_tpu.ops.xfer`.) Lane regions are gathered
+        straight from the packed planes — the full-block complex
+        array is never materialised. Downlink (``conj``) configs negate
+        the imag plane at lane-gather time (zero extra bandwidth).
+        ``metrics``: optional precomputed ``(corr, e1, e2)``.
+        """
         sps = self.sps
+        if metrics is None:
+            metrics = self._metrics_planes(xf)
+        corr, e1, e2 = metrics
+        starts, s_valid = candidate_starts(corr, 0.90, self.P)
+        starts = starts + 1  # see process_complex
+        s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
+        snr = self._snr_from_energy(e1, starts)
+        conj_sign = -1.0 if self.cfg.conj else 1.0
 
-        def process(xf):
-            """``xf``: packed IQ float32 ``[..., 2, L]`` -> DenseResult.
-
-            (Packed input keeps complex64 off the host<->device boundary;
-            see :mod:`lora_tpu.ops.xfer`.) Lane regions are gathered
-            straight from the packed planes — the full-block complex
-            array is never materialised.
-            """
-            if self.cfg.conj:
-                return self.process_complex(xfer.unpack_iq(xf))
-            if jax.default_backend() == "tpu":
-                from ..ops.pallas_kernels import detection_metrics_pallas
-
-                metrics = detection_metrics_pallas(xf, self.sps)
-            else:
-                metrics = detection_metrics_planes(xf, self.sps)
-            corr, e1, e2 = metrics
-            starts, s_valid = candidate_starts(corr, 0.90, self.P)
-            starts = starts + 1  # see process_complex
-            s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
-            # noise floor: min window energy over *non-silent* windows
-            # (zero-padded tails would otherwise zero the floor)
-            noise = jnp.min(jnp.where(e1 > 0, e1, jnp.inf), axis=-1,
-                            keepdims=True)
-            sig = jnp.take_along_axis(
-                e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1
-            )
-            snr = sig / jnp.maximum(noise, 1e-30)
-
-            def per_candidate(planes, start_win):
-                raw = self._region_from(planes, start_win * sps)  # [2, pkt]
-                return self._decode_candidate(
-                    jax.lax.complex(raw[0], raw[1])
-                )
-
-            fn = jax.vmap(per_candidate, in_axes=(None, 0))
-            for _ in range(xf.ndim - 2):
-                fn = jax.vmap(fn, in_axes=(0, 0))
-            ok, pay, plen, hdr, cfo = fn(xf, starts)
-            return DenseResult(
-                valid=ok & s_valid,
-                payload=pay,
-                length=plen,
-                hdr=hdr,
-                snr=snr.astype(jnp.float32),
-                start=starts * sps,
-                cfo=cfo,
+        def per_candidate(planes, start_win):
+            raw = self._region_from(planes, start_win * sps)  # [2, pkt]
+            return self._decode_candidate(
+                jax.lax.complex(raw[0], conj_sign * raw[1])
             )
 
-        return process
+        fn = jax.vmap(per_candidate, in_axes=(None, 0))
+        for _ in range(xf.ndim - 2):
+            fn = jax.vmap(fn, in_axes=(0, 0))
+        ok, pay, plen, hdr, cfo = fn(xf, starts)
+        return DenseResult(
+            valid=ok & s_valid,
+            payload=pay,
+            length=plen,
+            hdr=hdr,
+            snr=snr,
+            start=starts * sps,
+            cfo=cfo,
+        )
+
+    def process_pooled_planes(self, xf, pool: int, per_channel: int = 4,
+                              metrics=None) -> PooledResult:
+        """:meth:`process_pooled` on packed planes ``[C, 2, L]`` — the
+        many-channel scaling path with the Pallas detection kernel."""
+        sps = self.sps
+        if metrics is None:
+            metrics = self._metrics_planes(xf)
+        corr, e1, e2 = metrics
+        chan, win, lane_valid, snr = self._pool_lanes(
+            e1, corr, per_channel, pool, xf.shape[-1]
+        )
+        conj_sign = -1.0 if self.cfg.conj else 1.0
+
+        def per_lane(ch, w):
+            stream = jax.lax.dynamic_slice_in_dim(xf, ch, 1, axis=0)[0]
+            raw = self._region_from(stream, w * sps)
+            return self._decode_candidate(
+                jax.lax.complex(raw[0], conj_sign * raw[1])
+            )
+
+        ok, pay, plen, hdr, cfo = jax.vmap(per_lane)(chan, win)
+        return PooledResult(
+            valid=ok & lane_valid,
+            channel=chan,
+            payload=pay,
+            length=plen,
+            hdr=hdr,
+            snr=snr,
+            start=win * sps,
+            cfo=cfo,
+        )
+
+    def _pool_lanes(self, e1, corr, per_channel: int, pool: int, L: int):
+        """Shared candidate compaction for the pooled paths: strongest
+        ``pool`` valid (channel, window) pairs across all channels.
+        Returns ``(chan, win, lane_valid, snr)`` each ``[pool]``."""
+        starts, s_valid = candidate_starts(corr, 0.90, per_channel)  # [C, Pc]
+        starts = starts + 1  # see process_complex
+        s_valid = s_valid & self._tail_ok(starts, L)
+
+        # Ranking by window energy (not arrival order) matters: the
+        # normalized autocorrelation metric is scale-invariant, so a
+        # strong packet's PFB-sidelobe leakage raises candidates on
+        # neighbouring idle channels too — those leaked copies are tens
+        # of dB weaker and must not crowd real packets out of the pool
+        # (they also fail to decode: the sidelobe filtering destroys the
+        # chirp structure).
+        cand_e = jnp.take_along_axis(
+            e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1
+        )  # [C, Pc]
+        flat_valid = s_valid.reshape(-1)
+        score = jnp.where(flat_valid, cand_e.reshape(-1), -1.0)
+        order = jnp.argsort(-score)[:pool]
+        chan = (order // per_channel).astype(jnp.int32)
+        win = starts.reshape(-1)[order]
+        lane_valid = flat_valid[order]
+        snr = self._snr_from_energy(e1, starts).reshape(-1)[order]
+        return chan, win, lane_valid, snr
+
+    def _build(self):
+        return self.process_planes
 
     def process_complex(self, x, metrics=None):
         """Trace-time core on complex IQ ``[..., L]`` — call inside jit
@@ -528,11 +602,7 @@ class DenseReceiver:
         # the sfd_search budget covers the extra symbol.
         starts = starts + 1
         s_valid = s_valid & self._tail_ok(starts, x.shape[-1])
-        # SNR estimate: packet energy / noise-floor proxy (min non-silent
-        # window energy; see process)
-        noise = jnp.min(jnp.where(e1 > 0, e1, jnp.inf), axis=-1, keepdims=True)
-        sig = jnp.take_along_axis(e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1)
-        snr = sig / jnp.maximum(noise, 1e-30)
+        snr = self._snr_from_energy(e1, starts)
 
         def per_candidate(stream, start_win):
             return self._decode_candidate(
@@ -569,35 +639,13 @@ class DenseReceiver:
         arrival rate per block.
         """
         sps = self.sps
-        C = x.shape[0]
         if self.cfg.conj:
             x = jnp.conj(x)
             metrics = None
         corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
-        starts, s_valid = candidate_starts(corr, 0.90, per_channel)  # [C, Pc]
-        starts = starts + 1  # see process_complex
-        s_valid = s_valid & self._tail_ok(starts, x.shape[-1])
-
-        # compact: strongest `pool` valid (channel, window) pairs. Ranking
-        # by window energy (not arrival order) matters: the normalized
-        # autocorrelation metric is scale-invariant, so a strong packet's
-        # PFB-sidelobe leakage raises candidates on neighbouring idle
-        # channels too — those leaked copies are tens of dB weaker and
-        # must not crowd real packets out of the pool (they also fail to
-        # decode: the sidelobe filtering destroys the chirp structure).
-        cand_e = jnp.take_along_axis(
-            e1, jnp.minimum(starts, e1.shape[-1] - 1), axis=-1
-        )  # [C, Pc]
-        flat_valid = s_valid.reshape(-1)
-        score = jnp.where(flat_valid, cand_e.reshape(-1), -1.0)
-        order = jnp.argsort(-score)[:pool]
-        chan = (order // per_channel).astype(jnp.int32)
-        win = starts.reshape(-1)[order]
-        lane_valid = flat_valid[order]
-
-        noise = jnp.min(jnp.where(e1 > 0, e1, jnp.inf), axis=-1)  # [C]
-        sig = score[order]
-        snr = sig / jnp.maximum(noise[chan], 1e-30)
+        chan, win, lane_valid, snr = self._pool_lanes(
+            e1, corr, per_channel, pool, x.shape[-1]
+        )
 
         def per_lane(ch, w):
             stream = jax.lax.dynamic_slice_in_dim(x, ch, 1, axis=0)[0]
@@ -610,7 +658,7 @@ class DenseReceiver:
             payload=pay,
             length=plen,
             hdr=hdr,
-            snr=snr.astype(jnp.float32),
+            snr=snr,
             start=win * sps,
             cfo=cfo,
         )

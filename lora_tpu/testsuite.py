@@ -21,7 +21,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
-from .config import LoRaConfig
+from .config import LoRaConfig, MAC_CRC_SIZE
 from .io.sigmf import SigMFTrace, list_suite, read_trace, write_trace
 from .receiver import LoRaReceiver
 from .tx.modulator import modulate_frame
@@ -194,9 +194,14 @@ def run_suite(
     reports_path: Optional[str] = None,
     engine: str = "golden",
     write_output: bool = True,
+    report_suffix: str = "",
 ) -> dict:
     """Evaluate every SigMF suite under ``suites_path``
-    (qa_testsuite.py:176-247). Returns {suite: accuracy}."""
+    (qa_testsuite.py:176-247). Returns {suite: accuracy}.
+
+    ``report_suffix`` is appended to report names (e.g. ``_dense`` gives
+    ``short_sim_dense.md``) so per-engine accuracy matrices can coexist.
+    """
     if reports_path is None:
         reports_path = os.path.abspath(os.path.join(suites_path, "..", "test-results"))
     results = {}
@@ -212,26 +217,38 @@ def run_suite(
         if suites_to_run and suite not in suites_to_run:
             continue
         print(f"[+] Testing suite: '{suite}'")
-        summary = TestSummary(suite)
+        summary = TestSummary(suite + report_suffix)
         for meta in list_suite(os.path.join(suites_path, suite)):
             print(f"[+] {meta}")
             trace = read_trace(meta)
             cfg = trace.lora_config
+            # dense engine: payload-symbol capacity must cover the longest
+            # expected frame (decode_long suites carry 255-byte payloads ~
+            # 600 symbols at SF7 CR4/8 — far past the 48-symbol default);
+            # bucket to multiples of 48 so short traces share one program
+            n_expected = len(trace.expected or "") // 2
+            need = cfg.payload_symbol_count(
+                n_expected + (MAC_CRC_SIZE if cfg.crc else 0)
+            )
+            max_symbols = max(48, -(-need // 48) * 48)
             key = (trace.sample_rate, trace.capture_freq,
                    trace.frequency_offset, cfg.bandwidth, cfg.sf, cfg.cr,
-                   cfg.implicit, cfg.crc, cfg.conj, cfg.reduced_rate)
+                   cfg.implicit, cfg.crc, cfg.conj, cfg.reduced_rate,
+                   max_symbols)
             rx = rx_cache.get(key)
             if rx is None:
                 # dense engine: candidate capacity must cover every packet
                 # in the trace (suite traces carry up to `times`=10)
                 trace_engine = engine
-                kw = {"max_candidates": 16} if engine == "dense" else {}
+                kw = ({"max_candidates": 16, "max_symbols": max_symbols}
+                      if engine == "dense" else {})
                 if cfg.implicit:
                     # implicit energy-stop on the static window grid needs
                     # the dense fft engine (golden's gradient drift shifts
                     # pad nibbles; see rx/dense.py implicit notes)
                     trace_engine = "dense"
-                    kw = {"max_candidates": 16, "demod_method": "fft"}
+                    kw = {"max_candidates": 16, "max_symbols": max_symbols,
+                          "demod_method": "fft"}
                 rx = rx_cache[key] = LoRaReceiver(
                     samp_rate=trace.sample_rate,
                     center_freq=trace.capture_freq,

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .channelizer import PolyphaseChannelizer, pfb_channel_freqs
@@ -73,9 +74,14 @@ class WidebandReceiver:
             chans = self.pfb(x)  # [M, L//M - K + 1]
             if len(act) != self.M:
                 chans = chans[np.asarray(act), :]
+            # hand the dense stage packed planes: the PFB's output
+            # transpose writes [M, 2, Lc] instead of complex [M, Lc]
+            # (same bytes), and detection then runs the single-pass
+            # Pallas kernel instead of the XLA complex path
+            cp = jnp.stack([jnp.real(chans), jnp.imag(chans)], axis=-2)
             if self.pool is not None:
-                return self.rx.process_pooled(chans, self.pool)
-            return self.rx.process_complex(chans)
+                return self.rx.process_pooled_planes(cp, self.pool)
+            return self.rx.process_planes(cp)
 
         self.process_fn = process
         self._process = jax.jit(process)

@@ -51,7 +51,11 @@ def main():
             t0 = time.perf_counter()
             for _ in range(iters):
                 c, e = fn(xd, T, False)
-            np.asarray(c[0, :4])  # completion barrier (see bench.py note)
+            # completion barrier on BOTH outputs: a fetch is the reliable
+            # barrier through the remote tunnel (see bench.py note), and
+            # syncing only one output would rely on same-kernel
+            # completion semantics
+            np.asarray(c[0, :4]), np.asarray(e[0, :4])
             dt = (time.perf_counter() - t0) / iters
             best[name] = min(best[name], dt)
     for name, dt in best.items():
