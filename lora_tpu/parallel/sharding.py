@@ -96,6 +96,7 @@ def time_sharded_process(receiver: DenseReceiver, mesh: Mesh,
             snr=res.snr[None],
             start=res.start[None],
             cfo=res.cfo[None],
+            n_dropped=res.n_dropped[None],
         )
 
     sm = shard_map(
@@ -104,6 +105,7 @@ def time_sharded_process(receiver: DenseReceiver, mesh: Mesh,
         out_specs=DenseResult(
             valid=P(axis), payload=P(axis), length=P(axis),
             hdr=P(axis), snr=P(axis), start=P(axis), cfo=P(axis),
+            n_dropped=P(axis),
         ),
         # the dense pipeline's internal scans mix device-varying data with
         # unvarying constants; skip the varying-manual-axes check
@@ -152,6 +154,7 @@ def wideband_time_sharded_process(wideband, mesh: Mesh, axis: str = "dev",
             snr=res.snr[None],
             start=res.start[None],
             cfo=res.cfo[None],
+            n_dropped=res.n_dropped[None],
         )
 
     sm = jax.shard_map(
@@ -160,6 +163,7 @@ def wideband_time_sharded_process(wideband, mesh: Mesh, axis: str = "dev",
         out_specs=DenseResult(
             valid=P(axis), payload=P(axis), length=P(axis),
             hdr=P(axis), snr=P(axis), start=P(axis), cfo=P(axis),
+            n_dropped=P(axis),
         ),
         check_vma=False,
     )

@@ -67,6 +67,7 @@ class DenseResult(NamedTuple):
     snr: jnp.ndarray          # f32[..., P]
     start: jnp.ndarray        # int32[..., P] packet start sample in block
     cfo: jnp.ndarray          # f32[..., P] carrier frequency offset (Hz)
+    n_dropped: jnp.ndarray    # int32[...] rising-edge candidates past capacity
 
 
 class PooledResult(NamedTuple):
@@ -85,6 +86,7 @@ class PooledResult(NamedTuple):
     snr: jnp.ndarray          # f32[G]
     start: jnp.ndarray        # int32[G] start sample within the channel
     cfo: jnp.ndarray          # f32[G]
+    n_dropped: jnp.ndarray    # int32 candidates past per-channel or pool capacity
 
 
 class DenseReceiver:
@@ -490,7 +492,7 @@ class DenseReceiver:
         if metrics is None:
             metrics = self._metrics_planes(xf)
         corr, e1, e2 = metrics
-        starts, s_valid = candidate_starts(corr, 0.90, self.P)
+        starts, s_valid, n_dropped = candidate_starts(corr, 0.90, self.P)
         starts = starts + 1  # see process_complex
         s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
         snr = self._snr_from_energy(e1, starts)
@@ -514,6 +516,7 @@ class DenseReceiver:
             snr=snr,
             start=starts * sps,
             cfo=cfo,
+            n_dropped=n_dropped,
         )
 
     def process_pooled_planes(self, xf, pool: int, per_channel: int = 4,
@@ -524,7 +527,7 @@ class DenseReceiver:
         if metrics is None:
             metrics = self._metrics_planes(xf)
         corr, e1, e2 = metrics
-        chan, win, lane_valid, snr = self._pool_lanes(
+        chan, win, lane_valid, snr, n_dropped = self._pool_lanes(
             e1, corr, per_channel, pool, xf.shape[-1]
         )
         conj_sign = -1.0 if self.cfg.conj else 1.0
@@ -546,13 +549,16 @@ class DenseReceiver:
             snr=snr,
             start=win * sps,
             cfo=cfo,
+            n_dropped=n_dropped,
         )
 
     def _pool_lanes(self, e1, corr, per_channel: int, pool: int, L: int):
         """Shared candidate compaction for the pooled paths: strongest
         ``pool`` valid (channel, window) pairs across all channels.
-        Returns ``(chan, win, lane_valid, snr)`` each ``[pool]``."""
-        starts, s_valid = candidate_starts(corr, 0.90, per_channel)  # [C, Pc]
+        Returns ``(chan, win, lane_valid, snr, n_dropped)``; the first
+        four are ``[pool]``, ``n_dropped`` is a scalar counting candidates
+        lost to per-channel capacity plus valid candidates past the pool."""
+        starts, s_valid, chan_drop = candidate_starts(corr, 0.90, per_channel)
         starts = starts + 1  # see process_complex
         s_valid = s_valid & self._tail_ok(starts, L)
 
@@ -573,7 +579,12 @@ class DenseReceiver:
         win = starts.reshape(-1)[order]
         lane_valid = flat_valid[order]
         snr = self._snr_from_energy(e1, starts).reshape(-1)[order]
-        return chan, win, lane_valid, snr
+        # pool overflow: valid candidates that didn't make the pool
+        pool_drop = jnp.maximum(
+            jnp.sum(flat_valid).astype(jnp.int32) - pool, 0
+        )
+        n_dropped = jnp.sum(chan_drop).astype(jnp.int32) + pool_drop
+        return chan, win, lane_valid, snr, n_dropped
 
     def _build(self):
         return self.process_planes
@@ -593,7 +604,7 @@ class DenseReceiver:
             x = jnp.conj(x)
             metrics = None
         corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
-        starts, s_valid = candidate_starts(corr, 0.90, self.P)  # [..., P]
+        starts, s_valid, n_dropped = candidate_starts(corr, 0.90, self.P)  # [..., P]
         # Decode from one window past the rising edge: the edge window
         # may begin slightly before the preamble (leading silence skews
         # the sync xcorr by a fraction of a symbol and the SFD walk
@@ -623,6 +634,7 @@ class DenseReceiver:
             snr=snr.astype(jnp.float32),
             start=starts * sps,
             cfo=cfo,
+            n_dropped=n_dropped,
         )
 
     def process_pooled(self, x, pool: int, per_channel: int = 4,
@@ -643,7 +655,7 @@ class DenseReceiver:
             x = jnp.conj(x)
             metrics = None
         corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
-        chan, win, lane_valid, snr = self._pool_lanes(
+        chan, win, lane_valid, snr, n_dropped = self._pool_lanes(
             e1, corr, per_channel, pool, x.shape[-1]
         )
 
@@ -661,6 +673,7 @@ class DenseReceiver:
             snr=snr,
             start=win * sps,
             cfo=cfo,
+            n_dropped=n_dropped,
         )
 
     # ------------------------------------------------------------------

@@ -83,4 +83,9 @@ def candidate_starts(corr, threshold: float, max_candidates: int):
     idx = jnp.where(rising, jnp.arange(K), K)
     starts = jnp.sort(idx, axis=-1)[..., :max_candidates]
     valid = starts < K
-    return starts.astype(jnp.int32), valid
+    # candidates past the fixed capacity are dropped — surface the count
+    # so callers can flag saturation instead of losing packets silently
+    n_dropped = jnp.maximum(
+        jnp.sum(rising, axis=-1).astype(jnp.int32) - max_candidates, 0
+    )
+    return starts.astype(jnp.int32), valid, n_dropped

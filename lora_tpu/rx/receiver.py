@@ -66,7 +66,8 @@ class RxState(NamedTuple):
     pwr_queue: jnp.ndarray         # f32[4]
     pwr_len: jnp.ndarray           # int32
     # outputs
-    n_frames: jnp.ndarray          # int32
+    n_frames: jnp.ndarray          # int32 frames stored (clamped at capacity)
+    n_total: jnp.ndarray           # int32 frames decoded (incl. overwritten)
     out_payload: jnp.ndarray       # uint8[max_frames, MAX_PAYLOAD]
     out_len: jnp.ndarray           # int32[max_frames]
     out_hdr: jnp.ndarray           # uint8[max_frames, 3]
@@ -125,7 +126,7 @@ class JaxReceiver:
             payload_symbols=z, payload_length=z,
             energy_thresh=jnp.float32(0.0), corr_fails=z,
             snr=jnp.float32(0.0), pwr_queue=jnp.zeros(4, jnp.float32), pwr_len=z,
-            n_frames=z,
+            n_frames=z, n_total=z,
             out_payload=jnp.zeros((mf, MAX_PAYLOAD), jnp.uint8),
             out_len=jnp.zeros(mf, jnp.int32),
             out_hdr=jnp.zeros((mf, 3), jnp.uint8),
@@ -207,6 +208,7 @@ class JaxReceiver:
         )
         return st._replace(
             n_frames=jnp.minimum(st.n_frames + 1, self.max_frames),
+            n_total=st.n_total + 1,
             out_payload=st.out_payload.at[k].set(pay),
             out_len=st.out_len.at[k].set(paylen),
             out_hdr=st.out_hdr.at[k].set(st.hdr_bytes.astype(jnp.uint8)),
@@ -418,8 +420,13 @@ class JaxReceiver:
         return self.frames_from_state(jax.device_get(st))
 
     def frames_from_state(self, st, channel: int = 0) -> List[Frame]:
+        """Also sets ``self.n_dropped``: frames decoded past the
+        ``max_frames`` ring capacity (they overwrote the last slot — a
+        long capture with more packets than capacity no longer loses them
+        silently; raise ``max_frames`` when this is nonzero)."""
         frames = []
         n_frames = int(np.ravel(st.n_frames)[0])
+        self.n_dropped = max(int(np.ravel(st.n_total)[0]) - n_frames, 0)
         for k in range(n_frames):
             ln = int(st.out_len[k])
             frames.append(

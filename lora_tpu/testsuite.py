@@ -242,13 +242,13 @@ def run_suite(
                 trace_engine = engine
                 kw = ({"max_candidates": 16, "max_symbols": max_symbols}
                       if engine == "dense" else {})
-                if cfg.implicit:
-                    # implicit energy-stop on the static window grid needs
-                    # the dense fft engine (golden's gradient drift shifts
-                    # pad nibbles; see rx/dense.py implicit notes)
-                    trace_engine = "dense"
-                    kw = {"max_candidates": 16, "max_symbols": max_symbols,
-                          "demod_method": "fft"}
+                if cfg.implicit and engine == "dense":
+                    # the dense engine's implicit energy-stop is evaluated
+                    # on the static window grid, which requires the fft
+                    # demod (DenseReceiver rejects gradient+implicit);
+                    # golden/parity decode implicit with the reference's
+                    # gradient method directly
+                    kw["demod_method"] = "fft"
                 rx = rx_cache[key] = LoRaReceiver(
                     samp_rate=trace.sample_rate,
                     center_freq=trace.capture_freq,
