@@ -345,7 +345,8 @@ class StreamingLoRaReceiver:
                  disable_channelization: bool = False,
                  disable_drift_correction: bool = False,
                  engine: str = "dense", block_symbols: int = 512,
-                 max_candidates: int = 8, max_symbols: int = 48):
+                 max_candidates: int = 8, max_symbols: int = 48,
+                 auto_cfo: bool = False):
         from .config import LoRaConfig
         from .channelizer import lora_channel_taps
 
@@ -375,6 +376,15 @@ class StreamingLoRaReceiver:
         self._raw_index = 0          # absolute raw-sample index of chunk head
         self._filt_count = 0         # filtered samples produced so far
         self.sinks: List[Any] = []
+        # mid-stream CFO closed loop (reference controller semantics,
+        # lib/controller_impl.cc:52-57 -> channelizer_impl.cc:68-71:
+        # d_cfo += cfo; retune the translating FIR while the graph runs).
+        # Each decoded frame carries a residual-CFO estimate; the
+        # accumulated value retunes this channel's mixer for subsequent
+        # chunks. Off by default like the reference (its decoder-side
+        # publisher is commented out, decoder_impl.cc:774-776).
+        self.auto_cfo = bool(auto_cfo)
+        self.cfo = [0.0 for _ in self.channel_list]
 
         if engine == "dense":
             from .rx.dense import DenseReceiver
@@ -397,8 +407,10 @@ class StreamingLoRaReceiver:
         if self.disable_channelization or (
             self._taps is None
             or (len(self._offsets) == 1 and self._offsets[0] == 0.0
-                and self.decimation == 1)
+                and self.decimation == 1 and not self.auto_cfo)
         ):
+            # pass-through shortcut; with auto_cfo the filter path always
+            # runs so the accumulated CFO retunes the mixer
             return [x[:: self.decimation] for _ in self._offsets]
         ntaps = len(self._taps)
         raw = np.concatenate([self._tail, x])
@@ -409,8 +421,10 @@ class StreamingLoRaReceiver:
             return [np.zeros(0, np.complex64) for _ in self._offsets]
         n = head + np.arange(len(raw), dtype=np.float64)
         outs = []
-        for off in self._offsets:
-            mixer = np.exp(-2j * np.pi * (off / self.samp_rate) * n)
+        for ci, off in enumerate(self._offsets):
+            mixer = np.exp(
+                -2j * np.pi * ((off + self.cfo[ci]) / self.samp_rate) * n
+            )
             y = np.convolve(raw * mixer.astype(np.complex64),
                             self._taps[::-1], mode="valid")
             # decimation-phase continuity across chunks
@@ -429,13 +443,31 @@ class StreamingLoRaReceiver:
             if not len(ch):
                 continue
             if self._streams is not None:
-                for f in self._streams[ci].push(ch):
+                new = self._streams[ci].push(ch)
+                for f in new:
                     f.channel = ci
                     frames.append(f)
+                if self.auto_cfo and new:
+                    # every frame in this batch was channelized with the
+                    # same mixer setting, so each .cfo is a residual vs
+                    # the current accumulator; the most recent frame
+                    # reflects where the carrier is NOW
+                    self.apply_cfo(float(new[-1].cfo), ci)
             else:
                 self._buffered[ci] = np.concatenate([self._buffered[ci], ch])
         self._emit(frames)
         return frames
+
+    def apply_cfo(self, cfo: float, channel: int = 0) -> None:
+        """Accumulate a CFO correction into the channel mixer
+        (``channelizer_impl::apply_cfo`` parity: ``d_cfo += cfo`` then
+        retune). Takes effect from the next chunk — the asynchronous
+        message-port latency of the reference maps to chunk granularity
+        here. The mixer phase restarts at the retune boundary; like the
+        reference's ``set_center_freq``, a packet actually straddling the
+        retune sees a phase step (packets are separated by silence in
+        practice and CFO updates arrive between packets)."""
+        self.cfo[channel] += float(cfo)
 
     def flush(self) -> List[Frame]:
         frames: List[Frame] = []

@@ -110,6 +110,41 @@ def preamble_cfo(x2, sps: int, samp_rate: float, xp=np):
     return (ang / (2.0 * np.pi * sps) * samp_rate).astype("float32")
 
 
+def chirp_coarse_cfo(up_window, sfd_window, upchirp, downchirp,
+                     n_bins: int, sps: int, samp_rate: float, xp=np):
+    """Coarse full-range CFO via chirp CFO/STO separation.
+
+    A carrier offset ``f`` and a timing offset ``tau`` shift the
+    dechirped tone of an *up*chirp by ``f + tau*slope`` but of a
+    *down*chirp by ``f - tau*slope`` — averaging the dechirped-tone bins
+    of a preamble upchirp (dechirped with the ideal downchirp) and the
+    SFD downchirp (dechirped with the ideal upchirp) cancels the timing
+    term and recovers the integer-bin CFO component that the
+    symbol-to-symbol phase estimator (:func:`preamble_cfo`, range
+    ``+-fs/(2*sps)``) cannot see. Together they measure CFO over
+    ``+-bw/4`` — enough to keep a drifting carrier centered in the
+    channel filter, the purpose of the reference's controller loop.
+    Works for both sync conventions (the ifreq correlation sync is
+    CFO-invariant, ``tau ~= 0``; a dechirp-FFT sync absorbs the CFO
+    into ``tau`` — the average is correct either way).
+    """
+    b_up = fft_shift_idx(up_window, downchirp, n_bins, sps, xp=xp)
+    b_dn = fft_shift_idx(sfd_window, upchirp, n_bins, sps, xp=xp)
+    s_up = xp.where(b_up > n_bins // 2, b_up - n_bins, b_up)
+    s_dn = xp.where(b_dn > n_bins // 2, b_dn - n_bins, b_dn)
+    return ((s_up + s_dn).astype("float32") / 2.0) * (samp_rate / sps)
+
+
+def combine_cfo(coarse_hz, frac_hz, sps: int, samp_rate: float, xp=np):
+    """Merge :func:`sfd_coarse_cfo` (full range, half-bin resolution)
+    with :func:`preamble_cfo` (one-bin range, fine resolution): the
+    fractional estimate is exact modulo one bin, so snap the coarse
+    estimate to the nearest consistent total."""
+    bin_hz = samp_rate / sps
+    n = xp.round((coarse_hz - frac_hz) / bin_hz)
+    return (frac_hz + n * bin_hz).astype("float32")
+
+
 def determine_cfo_dechirp(window, downchirp, samp_rate: float, xp=np):
     """Reference-parity CFO probe: dechirped ifreq sample at index 256
     scaled by ``fs/2pi`` (lib/decoder_impl.cc:729-738, unused publisher)."""

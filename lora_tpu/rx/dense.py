@@ -127,6 +127,7 @@ class DenseReceiver:
         self.decim = config.decim_factor
 
         up, down = build_ideal_chirps(config)
+        self._up = up
         self._down = down
         self._up_ifreq = instantaneous_frequency(up)
         self._down_ifreq = instantaneous_frequency(down)
@@ -167,8 +168,12 @@ class DenseReceiver:
         )
         return b, fine
 
-    def _decode_candidate(self, region):
-        """Phase B for one packet region ``[pkt_samples]`` complex64."""
+    def _decode_candidate(self, region, collect: bool = False):
+        """Phase B for one packet region ``[pkt_samples]`` complex64.
+
+        ``collect=True`` (static) additionally returns a dict of
+        intermediate arrays — the jitted-pipeline analogue of the
+        reference's GRLORA_DEBUG taps (see :meth:`debug_trace`)."""
         cfg = self.cfg
         sps = self.sps
 
@@ -182,11 +187,13 @@ class DenseReceiver:
                 region[: 2 * sps], self._down, self._up_ifreq, sps,
                 self.n_bins, self.decim, xp=jnp, fold_mat=self._fold_mat,
             )
-            return self._decode_candidate_static(region, i0.astype(jnp.int32))
+            return self._decode_candidate_static(
+                region, i0.astype(jnp.int32), collect=collect
+            )
 
         # --- SYNC: align to upchirp start (reference :770-783) ---
         i0, _ = demod.upchirp_sync_xcorr(region[: 2 * sps], self._up_ifreq, sps, xp=jnp)
-        cfo = demod.preamble_cfo(
+        frac_cfo = demod.preamble_cfo(
             jax.lax.dynamic_slice(region, (i0.astype(jnp.int32),), (2 * sps,)),
             sps, cfg.samp_rate, xp=jnp,
         )
@@ -207,14 +214,26 @@ class DenseReceiver:
             fails = jnp.where(found | hit | is_up, fails, fails + 1)
             p_found = jnp.where(hit, p, p_found)
             found = found | hit
-            p = jnp.where(found, p, p + sps + fine)
-            return (p, fails, found, p_found), None
+            p_new = jnp.where(found, p, p + sps + fine)
+            ys = (c, p) if collect else None
+            return (p_new, fails, found, p_found), ys
 
         init = (i0.astype(jnp.int32), jnp.int32(0), jnp.bool_(False), jnp.int32(0))
-        (p, fails, found, p_found), _ = jax.lax.scan(
+        (p, fails, found, p_found), sfd_ys = jax.lax.scan(
             sfd_step, init, jnp.arange(self.F)
         )
         sfd_ok = found & (fails <= 4)
+        # full-range CFO: integer-bin part from the SFD downchirp +
+        # fractional part from the preamble phase (see demod.sfd_coarse_cfo)
+        sfd_win = jax.lax.dynamic_slice(
+            region, (jnp.minimum(p_found, self.pkt_samples - sps),), (sps,)
+        )
+        up_win = jax.lax.dynamic_slice(region, (i0.astype(jnp.int32),), (sps,))
+        coarse = demod.chirp_coarse_cfo(
+            up_win, sfd_win, self._up, self._down, self.n_bins, sps,
+            cfg.samp_rate, xp=jnp,
+        )
+        cfo = demod.combine_cfo(coarse, frac_cfo, sps, cfg.samp_rate, xp=jnp)
         # data starts 2.25 symbols after SFD start (FIND_SFD consume +
         # PAUSE consume, reference :816,:822)
         p_data = p_found + sps + sps + cfg.delay_after_sync
@@ -229,19 +248,38 @@ class DenseReceiver:
             b_red = jnp.floor(b_full / 4.0 + 0.5).astype(jnp.int32) % cfg.number_of_bins_hdr
             b = jnp.where(reduced, b_red, b_full)
             word = b ^ (b >> 1)
+            if collect:
+                # the gradient demod's internal view: bin-averaged ifreq
+                ifr = instantaneous_frequency(w, xp=jnp)
+                avg = ifr[: self.n_bins * self.decim].reshape(
+                    self.n_bins, self.decim
+                ).sum(axis=-1) / self.decim
+                return p + sps + fine, (word, b_full, fine, p, avg)
             return p + sps + fine, word
 
-        _, words = jax.lax.scan(
+        _, dm_ys = jax.lax.scan(
             dm_step, p_data.astype(jnp.int32), jnp.arange(8 + self.S)
         )  # [8+S]
-        return self._finish_decode(words, sfd_ok) + (cfo,)
+        words = dm_ys[0] if collect else dm_ys
+        out = self._finish_decode(words, sfd_ok) + (cfo,)
+        if collect:
+            words_, bins_, fines_, pos_, avg_ = dm_ys
+            extras = dict(
+                i0=i0.astype(jnp.int32), frac_cfo=frac_cfo, coarse_cfo=coarse,
+                cfo=cfo, sfd_corr=sfd_ys[0], sfd_pos=sfd_ys[1],
+                p_found=p_found, fails=fails, sfd_ok=sfd_ok, p_data=p_data,
+                words=words_, bins=bins_, fine_syncs=fines_,
+                window_pos=pos_, spectra=avg_,
+            )
+            return out + (extras,)
+        return out
 
-    def _decode_candidate_static(self, region, i0):
+    def _decode_candidate_static(self, region, i0, collect: bool = False):
         """Batched Phase B for the fft engine: no drift feedback, so SFD
         search and symbol demod run as one-shot batched kernels."""
         cfg = self.cfg
         sps = self.sps
-        cfo = demod.preamble_cfo(
+        frac_cfo = demod.preamble_cfo(
             jax.lax.dynamic_slice(region, (i0,), (2 * sps,)),
             sps, cfg.samp_rate, xp=jnp,
         )
@@ -262,6 +300,16 @@ class DenseReceiver:
         fails = jnp.sum(before & ~(cs < -0.97) & ~hit)
         sfd_ok = found & (fails <= 4)
         p_found = i0 + first * sps
+        # full-range CFO (see the gradient path / demod.sfd_coarse_cfo)
+        sfd_win = jax.lax.dynamic_slice(
+            region, (jnp.minimum(p_found, self.pkt_samples - sps),), (sps,)
+        )
+        up_win = jax.lax.dynamic_slice(region, (i0,), (sps,))
+        coarse = demod.chirp_coarse_cfo(
+            up_win, sfd_win, self._up, self._down, self.n_bins, sps,
+            cfg.samp_rate, xp=jnp,
+        )
+        cfo = demod.combine_cfo(coarse, frac_cfo, sps, cfg.samp_rate, xp=jnp)
 
         # data starts 2.25 symbols after SFD start (reference :816,:822)
         p_data = p_found + sps + sps + cfg.delay_after_sync
@@ -283,6 +331,20 @@ class DenseReceiver:
         b_red = jnp.floor(b_full / 4.0 + 0.5).astype(jnp.int32) % cfg.number_of_bins_hdr
         b = jnp.where(reduced, b_red, b_full)
         words = b ^ (b >> 1)
+        extras = None
+        if collect:
+            extras = dict(
+                i0=i0, frac_cfo=frac_cfo, coarse_cfo=coarse, cfo=cfo,
+                sfd_corr=cs, sfd_pos=i0 + jnp.arange(self.F) * sps,
+                p_found=p_found, fails=fails, sfd_ok=sfd_ok, p_data=p_data,
+                words=words, bins=b_full,
+                fine_syncs=jnp.zeros(nsym, jnp.int32),
+                window_pos=p_data + jnp.arange(nsym) * sps,
+                # dechirped folded magnitude spectra (get_shift_fft view)
+                spectra=demod.dechirp_fft_mag(
+                    wins, self._down, self.n_bins, sps, xp=jnp
+                ),
+            )
         if cfg.implicit:
             # energy-stop end-of-frame (reference :861-864): threshold is
             # half the preamble-window energy (set in DETECT, :356-357)
@@ -294,8 +356,12 @@ class DenseReceiver:
             below = e_sym < thr
             ended = below.any()
             n_data = jnp.where(ended, jnp.argmax(below), nsym).astype(jnp.int32)
-            return self._finish_decode_implicit(words, sfd_ok & ended, n_data) + (cfo,)
-        return self._finish_decode(words, sfd_ok) + (cfo,)
+            out = self._finish_decode_implicit(
+                words, sfd_ok & ended, n_data
+            ) + (cfo,)
+            return out + (extras,) if collect else out
+        out = self._finish_decode(words, sfd_ok) + (cfo,)
+        return out + (extras,) if collect else out
 
     def _finish_decode_implicit(self, words, ok, n_data):
         """Implicit-header tail: no header parse; the first 8 (reduced)
@@ -492,7 +558,8 @@ class DenseReceiver:
         if metrics is None:
             metrics = self._metrics_planes(xf)
         corr, e1, e2 = metrics
-        starts, s_valid, n_dropped = candidate_starts(corr, 0.90, self.P)
+        starts, s_valid, n_dropped = candidate_starts(corr, 0.90, self.P,
+                                                      energy=e1)
         starts = starts + 1  # see process_complex
         s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
         snr = self._snr_from_energy(e1, starts)
@@ -558,7 +625,9 @@ class DenseReceiver:
         Returns ``(chan, win, lane_valid, snr, n_dropped)``; the first
         four are ``[pool]``, ``n_dropped`` is a scalar counting candidates
         lost to per-channel capacity plus valid candidates past the pool."""
-        starts, s_valid, chan_drop = candidate_starts(corr, 0.90, per_channel)
+        starts, s_valid, chan_drop = candidate_starts(
+            corr, 0.90, per_channel, energy=e1
+        )
         starts = starts + 1  # see process_complex
         s_valid = s_valid & self._tail_ok(starts, L)
 
@@ -604,7 +673,9 @@ class DenseReceiver:
             x = jnp.conj(x)
             metrics = None
         corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
-        starts, s_valid, n_dropped = candidate_starts(corr, 0.90, self.P)  # [..., P]
+        starts, s_valid, n_dropped = candidate_starts(
+            corr, 0.90, self.P, energy=e1
+        )  # [..., P]
         # Decode from one window past the rising edge: the edge window
         # may begin slightly before the preamble (leading silence skews
         # the sync xcorr by a fraction of a symbol and the SFD walk
@@ -677,6 +748,67 @@ class DenseReceiver:
         )
 
     # ------------------------------------------------------------------
+    def debug_trace(self, x):
+        """Decode ONE stream with full intermediate taps.
+
+        The jitted-pipeline analogue of the reference's ``GRLORA_DEBUG``
+        sample dumps + ``/tmp/grlora_debug_txt`` per-symbol log
+        (lib/decoder_impl.cc:63-67,514-516; SURVEY.md §5) and of the
+        golden receiver's ``DebugTrace``. ``x``: host complex IQ ``[L]``.
+        Returns a dict of host numpy arrays:
+
+        block level
+            ``corr``/``e1`` dense detection metrics ``[K]``;
+            ``starts``/``cand_valid`` candidate windows ``[P]``.
+        per candidate (leading axis ``P``)
+            ``i0`` sync offset; ``frac_cfo``/``coarse_cfo``/``cfo``;
+            ``sfd_corr``/``sfd_pos`` the FIND_SFD walk ``[F]``;
+            ``p_found``/``fails``/``sfd_ok``/``p_data``;
+            ``words``/``bins``/``fine_syncs``/``window_pos`` per symbol
+            ``[8+S]``; ``spectra`` per-symbol dechirped view
+            (fft: folded magnitude ``[8+S, n_bins]``; gradient:
+            bin-averaged instantaneous frequency);
+            decode results ``ok``/``payload``/``length``/``hdr``.
+        """
+        import numpy as _np
+
+        x = _np.asarray(x)
+        if _np.iscomplexobj(x):
+            x = xfer.pack_iq(
+                _np.pad(x.astype(_np.complex64), (0, self.pkt_samples))
+            )
+        if not hasattr(self, "_debug_jit"):
+            sps = self.sps
+            conj_sign = -1.0 if self.cfg.conj else 1.0
+
+            def fn(xf):
+                metrics = self._metrics_planes(xf)
+                corr, e1, e2 = metrics
+                starts, s_valid, n_dropped = candidate_starts(
+                    corr, 0.90, self.P, energy=e1
+                )
+                starts = starts + 1
+                s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
+
+                def per_candidate(start_win):
+                    raw = self._region_from(xf, start_win * sps)
+                    return self._decode_candidate(
+                        jax.lax.complex(raw[0], conj_sign * raw[1]),
+                        collect=True,
+                    )
+
+                ok, pay, plen, hdr, cfo, extras = jax.vmap(per_candidate)(starts)
+                return dict(
+                    corr=corr, e1=e1, starts=starts * sps,
+                    cand_valid=s_valid, n_dropped=n_dropped,
+                    ok=ok & s_valid, payload=pay, length=plen, hdr=hdr,
+                    **extras,
+                )
+
+            self._debug_jit = jax.jit(fn)
+        out = jax.device_get(self._debug_jit(jnp.asarray(x)))
+        return {k: _np.asarray(v) for k, v in out.items()}
+
     def process(self, x) -> DenseResult:
         """Run the pipeline. ``x`` may be host complex IQ, host packed
         float32 ``[..., 2, L]``, or an already-on-device packed array.

@@ -64,24 +64,40 @@ def detection_metrics_planes(xf, sps: int):
     return corr.astype(jnp.float32), e1.astype(jnp.float32), e2.astype(jnp.float32)
 
 
-def candidate_starts(corr, threshold: float, max_candidates: int):
+def candidate_starts(corr, threshold: float, max_candidates: int,
+                     energy=None):
     """Rising-edge packet-start candidates from the dense metric.
 
     A candidate is the first window of a run of >= 2 consecutive
     ``corr >= threshold`` windows (a real preamble of >= 3 symbols always
     yields such a run at symbol stride; isolated data-symbol coincidences
     rarely do — this keeps spurious candidates from exhausting the fixed
-    candidate capacity). Returns ``(starts, valid)``:
-    ``[..., max_candidates]`` window indices (first ``max_candidates`` per
-    stream, int32) and a validity mask.
+    candidate capacity). Returns ``(starts, valid, n_dropped)``:
+    ``[..., max_candidates]`` window indices (int32, ascending), a
+    validity mask, and the count of rising edges past the capacity.
+
+    ``energy``: optional per-window energies ``[..., K]``. When given and
+    more edges fire than fit, the *strongest* windows are kept instead of
+    the earliest — the autocorrelation metric is scale-invariant, so a
+    strong packet's channelizer-sidelobe leakage raises full-strength
+    candidates on neighbouring idle channels (tens of dB weaker, and
+    undecodable); without the ranking those leaks crowd real packets out
+    of the fixed capacity.
     """
     hit = corr >= threshold
     nxt = jnp.pad(hit[..., 1:], [(0, 0)] * (hit.ndim - 1) + [(0, 1)])
     prev = jnp.pad(hit[..., :-1], [(0, 0)] * (hit.ndim - 1) + [(1, 0)])
     rising = hit & nxt & ~prev
     K = corr.shape[-1]
-    idx = jnp.where(rising, jnp.arange(K), K)
-    starts = jnp.sort(idx, axis=-1)[..., :max_candidates]
+    if energy is None:
+        idx = jnp.where(rising, jnp.arange(K), K)
+        starts = jnp.sort(idx, axis=-1)[..., :max_candidates]
+    else:
+        score = jnp.where(rising, energy, -jnp.inf)
+        order = jnp.argsort(-score, axis=-1)[..., :max_candidates]
+        kept = jnp.take_along_axis(rising, order, axis=-1)
+        idx = jnp.where(kept, order, K)
+        starts = jnp.sort(idx, axis=-1)  # ascending among the kept
     valid = starts < K
     # candidates past the fixed capacity are dropped — surface the count
     # so callers can flag saturation instead of losing packets silently

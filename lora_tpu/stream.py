@@ -213,6 +213,130 @@ class StreamingReceiver:
             self._ring = None
 
 
+class WidebandStreamingReceiver:
+    """Continuous wideband streaming: on-device PFB + dense decode.
+
+    The streaming analogue of :class:`lora_tpu.wideband.WidebandReceiver`
+    — arbitrary-length *wideband* IQ goes in (rate ``M * chan_rate``),
+    deduplicated frames (stamped with their PFB channel) come out. The
+    polyphase filterbank and the decode both run inside one jitted
+    program per block, so the host never touches per-channel streams
+    (replacing the per-channel host FIR of
+    ``flowgraph.StreamingLoRaReceiver`` for dense channel grids).
+
+    Blocking is overlap-save at the wideband rate: ``hop`` owned samples
+    plus a halo covering one maximal packet region at channel rate and
+    the PFB warmup, so every packet is fully contained in at least one
+    block and emitted exactly once (ownership rule + seam dedup as in
+    :class:`StreamingReceiver`).
+    """
+
+    def __init__(
+        self,
+        wideband,
+        block_symbols: int = 512,
+        sinks: Sequence = (),
+        max_in_flight: int = 2,
+    ):
+        self.wb = wideband
+        M = wideband.M
+        sps = wideband.rx.sps
+        self.M = M
+        self.hop = block_symbols * sps * M
+        halo_chan = wideband.rx.pkt_samples + 2 * sps
+        self.halo = (halo_chan + wideband.pfb.K + 1) * M
+        if self.hop < self.halo:
+            raise ValueError(
+                f"block_symbols={block_symbols} gives hop {self.hop} < halo "
+                f"{self.halo} wideband samples; use a larger block"
+            )
+        self.block_len = self.hop + self.halo
+        self.sinks = list(sinks)
+        self.max_in_flight = max(1, max_in_flight)
+        self._pending: List[tuple] = []
+        self._abs = 0
+        self._frames: List[Frame] = []
+        self._emitted: dict = {}  # channel -> recent abs channel-sample starts
+        self._dedup_distance = 16 * sps
+        self._buf = np.zeros(0, np.complex64)
+
+    def push(self, samples) -> List[Frame]:
+        x = np.ascontiguousarray(np.asarray(samples, dtype=np.complex64))
+        self._buf = np.concatenate([self._buf, x])
+        while len(self._buf) >= self.block_len:
+            block = self._buf[: self.block_len]
+            self._buf = self._buf[self.hop :]
+            self._dispatch(block, self._abs, own=self.hop)
+            self._abs += self.hop
+            self._drain(self.max_in_flight - 1)
+        out, self._frames = self._frames, []
+        return out
+
+    def flush(self) -> List[Frame]:
+        tail = np.concatenate([self._buf, np.zeros(self.halo, np.complex64)])
+        self._buf = np.zeros(0, np.complex64)
+        if len(tail):
+            block = np.zeros(self.block_len, np.complex64)
+            block[: min(len(tail), self.block_len)] = tail[: self.block_len]
+            self._dispatch(block, self._abs, own=len(tail))
+        self._drain(0)
+        out, self._frames = self._frames, []
+        return out
+
+    def _dispatch(self, block: np.ndarray, abs_offset: int, own: int) -> None:
+        res = self.wb.process(pack_iq(block))
+        self._pending.append((res, abs_offset, own))
+        self._drain(self.max_in_flight)
+
+    def _drain(self, keep: int) -> None:
+        import jax
+
+        from .io.frames import PhyHeader
+
+        while len(self._pending) > keep:
+            res, abs_offset, own = self._pending.pop(0)
+            r = jax.device_get(res)
+            valid = np.asarray(r.valid)
+            own_chan = own // self.M
+            pooled = self.wb.pool is not None
+            lanes = np.nonzero(valid)[0] if pooled else zip(*np.nonzero(valid))
+            for lane in lanes:
+                if pooled:
+                    g = int(lane)
+                    chan = int(self.wb.active[int(np.asarray(r.channel)[g])])
+                    start = int(np.asarray(r.start)[g])
+                    sel = (g,)
+                else:
+                    ci, k = (int(v) for v in lane)
+                    chan = int(self.wb.active[ci])
+                    start = int(np.asarray(r.start)[ci, k])
+                    sel = (ci, k)
+                if start >= own_chan:
+                    continue  # owned by a later block
+                abs_start = abs_offset // self.M + start
+                seen = self._emitted.setdefault(chan, [])
+                if any(abs(abs_start - s) < self._dedup_distance for s in seen):
+                    continue
+                seen.append(abs_start)
+                if len(seen) > 64:
+                    del seen[:32]
+                f = Frame(
+                    phy_header=PhyHeader.from_bytes(bytes(np.asarray(r.hdr)[sel])),
+                    payload=bytes(
+                        np.asarray(r.payload)[sel][: np.asarray(r.length)[sel]]
+                    ),
+                    snr=float(np.asarray(r.snr)[sel]),
+                    channel=chan,
+                    sample_index=abs_start,
+                    cfo=float(np.asarray(r.cfo)[sel]),
+                )
+                f.tap_header.frequency = int(abs(self.wb.channel_freqs[chan]))
+                f.tap_header.sf = self.wb.cfg.sf
+                self._frames.append(f)
+                for s in self.sinks:
+                    s.handle(f)
+
+
 def stream_file(
     path: str,
     receiver: DenseReceiver,
