@@ -170,4 +170,11 @@ if __name__ == "__main__":
         sys.argv.remove("--wideband")
         main_wideband(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
     else:
+        # wideband (1024-channel PFB+decode) first, headline dense metric
+        # LAST so single-line consumers read the primary number; both
+        # lines are recorded in the driver's tail capture
+        try:
+            main_wideband(1024)
+        except Exception as e:  # never let the secondary metric mask main()
+            print(f"WARNING: wideband bench failed: {e}", file=sys.stderr)
         main()

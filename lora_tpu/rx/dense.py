@@ -52,7 +52,8 @@ from ..config import LoRaConfig, MAC_CRC_SIZE
 from ..io.frames import Frame, PhyHeader
 from ..ops import bits, decode as dec, demod, xfer
 from ..ops.chirp import build_ideal_chirps, instantaneous_frequency, tiled_upchirp_ifreq
-from .frontend import detection_metrics, detection_metrics_planes, candidate_starts
+from .frontend import (detection_metrics, detection_metrics_planes,
+                       candidate_starts, leak_suppression)
 
 MAX_PAYLOAD = 260
 
@@ -558,8 +559,9 @@ class DenseReceiver:
         if metrics is None:
             metrics = self._metrics_planes(xf)
         corr, e1, e2 = metrics
-        starts, s_valid, n_dropped = candidate_starts(corr, 0.90, self.P,
-                                                      energy=e1)
+        starts, s_valid, n_dropped = candidate_starts(
+            corr, 0.90, self.P, suppress=leak_suppression(e1)
+        )
         starts = starts + 1  # see process_complex
         s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
         snr = self._snr_from_energy(e1, starts)
@@ -626,7 +628,7 @@ class DenseReceiver:
         four are ``[pool]``, ``n_dropped`` is a scalar counting candidates
         lost to per-channel capacity plus valid candidates past the pool."""
         starts, s_valid, chan_drop = candidate_starts(
-            corr, 0.90, per_channel, energy=e1
+            corr, 0.90, per_channel, suppress=leak_suppression(e1)
         )
         starts = starts + 1  # see process_complex
         s_valid = s_valid & self._tail_ok(starts, L)
@@ -674,7 +676,7 @@ class DenseReceiver:
             metrics = None
         corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
         starts, s_valid, n_dropped = candidate_starts(
-            corr, 0.90, self.P, energy=e1
+            corr, 0.90, self.P, suppress=leak_suppression(e1)
         )  # [..., P]
         # Decode from one window past the rising edge: the edge window
         # may begin slightly before the preamble (leading silence skews
@@ -785,7 +787,7 @@ class DenseReceiver:
                 metrics = self._metrics_planes(xf)
                 corr, e1, e2 = metrics
                 starts, s_valid, n_dropped = candidate_starts(
-                    corr, 0.90, self.P, energy=e1
+                    corr, 0.90, self.P, suppress=leak_suppression(e1)
                 )
                 starts = starts + 1
                 s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])

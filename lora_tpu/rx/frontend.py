@@ -64,8 +64,33 @@ def detection_metrics_planes(xf, sps: int):
     return corr.astype(jnp.float32), e1.astype(jnp.float32), e2.astype(jnp.float32)
 
 
+LEAK_RATIO = 100.0  # 20 dB: far above noise asymmetry, far below the
+                    # >=40 dB sidelobe attenuation of the channel filters
+
+
+def leak_suppression(e1, xp=jnp):
+    """Cross-channel sidelobe-leak mask for per-window energies
+    ``[..., K]`` (all leading axes are channel-like).
+
+    The autocorrelation detection metric is scale-invariant, so a strong
+    packet's channelizer-sidelobe leakage raises full-strength (but
+    undecodable) candidates on neighbouring idle channels, crowding real
+    packets out of the fixed candidate capacity. A leaked copy is
+    time-aligned with its source and tens of dB weaker (>=40 dB for the
+    reference's 53 dB Hamming filter designs), so: suppress a window
+    whose energy sits ``LEAK_RATIO`` below the strongest channel's energy
+    at the SAME window. Single-stream inputs (no leading axes) are never
+    suppressed.
+    """
+    lead = tuple(range(e1.ndim - 1))
+    if not lead:
+        return xp.zeros(e1.shape, dtype=bool)
+    peak = xp.max(e1, axis=lead, keepdims=True)
+    return e1 * LEAK_RATIO < peak
+
+
 def candidate_starts(corr, threshold: float, max_candidates: int,
-                     energy=None):
+                     suppress=None):
     """Rising-edge packet-start candidates from the dense metric.
 
     A candidate is the first window of a run of >= 2 consecutive
@@ -73,31 +98,23 @@ def candidate_starts(corr, threshold: float, max_candidates: int,
     yields such a run at symbol stride; isolated data-symbol coincidences
     rarely do — this keeps spurious candidates from exhausting the fixed
     candidate capacity). Returns ``(starts, valid, n_dropped)``:
-    ``[..., max_candidates]`` window indices (int32, ascending), a
-    validity mask, and the count of rising edges past the capacity.
+    ``[..., max_candidates]`` window indices (int32, the EARLIEST
+    ``max_candidates`` per stream — time order preserves the streaming
+    layer's ownership/dedup contract), a validity mask, and the count of
+    rising edges past the capacity.
 
-    ``energy``: optional per-window energies ``[..., K]``. When given and
-    more edges fire than fit, the *strongest* windows are kept instead of
-    the earliest — the autocorrelation metric is scale-invariant, so a
-    strong packet's channelizer-sidelobe leakage raises full-strength
-    candidates on neighbouring idle channels (tens of dB weaker, and
-    undecodable); without the ranking those leaks crowd real packets out
-    of the fixed capacity.
+    ``suppress``: optional bool ``[..., K]`` of windows to exclude
+    (see :func:`leak_suppression`).
     """
     hit = corr >= threshold
     nxt = jnp.pad(hit[..., 1:], [(0, 0)] * (hit.ndim - 1) + [(0, 1)])
     prev = jnp.pad(hit[..., :-1], [(0, 0)] * (hit.ndim - 1) + [(1, 0)])
     rising = hit & nxt & ~prev
+    if suppress is not None:
+        rising = rising & ~suppress
     K = corr.shape[-1]
-    if energy is None:
-        idx = jnp.where(rising, jnp.arange(K), K)
-        starts = jnp.sort(idx, axis=-1)[..., :max_candidates]
-    else:
-        score = jnp.where(rising, energy, -jnp.inf)
-        order = jnp.argsort(-score, axis=-1)[..., :max_candidates]
-        kept = jnp.take_along_axis(rising, order, axis=-1)
-        idx = jnp.where(kept, order, K)
-        starts = jnp.sort(idx, axis=-1)  # ascending among the kept
+    idx = jnp.where(rising, jnp.arange(K), K)
+    starts = jnp.sort(idx, axis=-1)[..., :max_candidates]
     valid = starts < K
     # candidates past the fixed capacity are dropped — surface the count
     # so callers can flag saturation instead of losing packets silently
