@@ -386,7 +386,40 @@ class StreamingLoRaReceiver:
         self.auto_cfo = bool(auto_cfo)
         self.cfo = [0.0 for _ in self.channel_list]
 
-        if engine == "dense":
+        # Dense channel grids go through the on-device polyphase
+        # filterbank instead of one host FIR per channel: when the
+        # decimation M >= 8 and every channel offset sits on the
+        # samp_rate/M grid, the whole graph (PFB + decode) runs as one
+        # jitted program per block (lora_tpu.stream.WidebandStreamingReceiver)
+        # — the host never touches per-channel streams. This is the
+        # multi-channel scaling path the reference lacks entirely.
+        self._wb_stream = None
+        self._wb_chan_to_ci = {}
+        if (engine == "dense" and not disable_channelization
+                and not self.auto_cfo and len(self._offsets) >= 2
+                and self.decimation >= 8):
+            M = self.decimation
+            spacing = self.samp_rate / M
+            ks = [off / spacing for off in self._offsets]
+            if all(abs(k - round(k)) < 1e-6 for k in ks):
+                from .stream import WidebandStreamingReceiver
+                from .wideband import WidebandReceiver
+
+                active = [int(round(k)) % M for k in ks]
+                self._wb_chan_to_ci = {a: ci for ci, a in enumerate(active)}
+                wb = WidebandReceiver(
+                    self.config, M, active_channels=sorted(set(active)),
+                    pool=4 * len(active), max_candidates=max_candidates,
+                    max_symbols=max_symbols,
+                )
+                self._wb_stream = WidebandStreamingReceiver(
+                    wb, block_symbols=block_symbols
+                )
+
+        if self._wb_stream is not None:
+            self._streams = None
+            self._buffered = None
+        elif engine == "dense":
             from .rx.dense import DenseReceiver
             from .stream import StreamingReceiver
 
@@ -438,6 +471,10 @@ class StreamingLoRaReceiver:
         x = np.asarray(x, dtype=np.complex64)
         if self.conj:
             x = np.conj(x)
+        if self._wb_stream is not None:
+            frames = self._map_wb(self._wb_stream.push(x))
+            self._emit(frames)
+            return frames
         frames: List[Frame] = []
         for ci, ch in enumerate(self._channelize(x)):
             if not len(ch):
@@ -458,6 +495,18 @@ class StreamingLoRaReceiver:
         self._emit(frames)
         return frames
 
+    def _map_wb(self, frames: List[Frame]) -> List[Frame]:
+        """Map PFB channel indices back to channel_list positions."""
+        out = []
+        for f in frames:
+            ci = self._wb_chan_to_ci.get(f.channel)
+            if ci is None:  # not one of ours (cannot happen: active set)
+                continue
+            f.channel = ci
+            f.tap_header.frequency = int(self.channel_list[ci])
+            out.append(f)
+        return out
+
     def apply_cfo(self, cfo: float, channel: int = 0) -> None:
         """Accumulate a CFO correction into the channel mixer
         (``channelizer_impl::apply_cfo`` parity: ``d_cfo += cfo`` then
@@ -470,6 +519,10 @@ class StreamingLoRaReceiver:
         self.cfo[channel] += float(cfo)
 
     def flush(self) -> List[Frame]:
+        if self._wb_stream is not None:
+            frames = self._map_wb(self._wb_stream.flush())
+            self._emit(frames)
+            return frames
         frames: List[Frame] = []
         if self._streams is not None:
             for ci, s in enumerate(self._streams):
