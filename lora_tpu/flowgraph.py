@@ -639,6 +639,19 @@ _register(BlockSpec(
      Param("tag", "string", "")],
     _mk_mongodb_sink,
     doc="Store frames in MongoDB (grc/lora_message_mongodb_sink.block.yml)."))
+def _mk_socket_source(addr="0.0.0.0", port=40868):
+    from .io.udp import MessageSocketSource
+
+    return MessageSocketSource(addr, int(port))
+
+
+_register(BlockSpec(
+    "message_socket_source", "Message Socket Source", "msg_source",
+    [Param("addr", "string", "0.0.0.0"), Param("port", "int", 40868)],
+    _mk_socket_source,
+    doc="Republish UDP datagrams as frames "
+        "(grc/lora_message_socket_source.block.yml; "
+        "lib/message_socket_source_impl.cc:49-97)."))
 _register(BlockSpec(
     "frame_print_sink", "Frame Print Sink", "sink",
     [Param("layer", "int", 1)],
@@ -689,9 +702,26 @@ class Flowgraph:
     def _wire(self) -> None:
         sources = [n for n, k in self.kinds.items() if k == "source"]
         receivers = [n for n, k in self.kinds.items() if k == "receiver"]
+        msg_sources = [n for n, k in self.kinds.items() if k == "msg_source"]
+        if not receivers and len(msg_sources) == 1 and not sources:
+            # message-only graph: msg_source -> sinks (the reference's
+            # message_socket_source republish topology)
+            self.msg_source_name = msg_sources[0]
+            self.source_name = self.rx_name = None
+            self.stream_chain = []
+            self.collector = FrameCollectSink()
+            self.msg_sinks = [self.collector]
+            for (a, ap, b, bp) in self.connections:
+                if a == self.msg_source_name:
+                    if self.kinds.get(b) != "sink":
+                        raise ValueError(f"{b!r} is not a sink")
+                    self.msg_sinks.append(self.blocks[b])
+            return
+        self.msg_source_name = None
         if len(sources) != 1 or len(receivers) != 1:
             raise ValueError(
                 f"a flowgraph needs exactly one source and one lora_receiver "
+                f"(or a single message_socket_source) "
                 f"(got sources={sources}, receivers={receivers})")
         self.source_name, self.rx_name = sources[0], receivers[0]
 
@@ -743,6 +773,8 @@ class Flowgraph:
         """Pump the source through the receiver until EOF (or a limit);
         returns all decoded frames. The moral equivalent of
         ``tb.start(); tb.wait()`` on the reference flowgraph."""
+        if self.msg_source_name is not None:
+            return self._run_msg_graph(max_frames, max_seconds)
         src = self.blocks[self.source_name]
         rx = self.blocks[self.rx_name]
         throttles = [b for b in self.stream_chain if isinstance(b, Throttle)]
@@ -761,6 +793,39 @@ class Flowgraph:
             src.close()
             rx.close()
             for s in rx.sinks:
+                close = getattr(s, "close", None)
+                if close:
+                    close()
+        return self.collector.frames
+
+    def _run_msg_graph(self, max_frames: Optional[int],
+                       max_seconds: Optional[float]) -> List[Frame]:
+        """message_socket_source -> sinks: republish each received UDP
+        datagram as a Frame to the connected sinks (reference
+        message_socket_source topology)."""
+        import queue as _queue
+
+        src = self.blocks[self.msg_source_name]
+        t0 = time.monotonic()
+        try:
+            while True:
+                if max_seconds is not None and time.monotonic() - t0 > max_seconds:
+                    break
+                if max_frames is not None and len(self.collector.frames) >= max_frames:
+                    break
+                try:
+                    data = src.get(timeout=0.2)
+                except _queue.Empty:
+                    continue
+                try:
+                    f = Frame.from_bytes(data)
+                except Exception:
+                    continue  # non-loratap datagram: skip, like a bad blob
+                for s in self.msg_sinks:
+                    s.handle(f)
+        finally:
+            src.close()
+            for s in self.msg_sinks:
                 close = getattr(s, "close", None)
                 if close:
                     close()

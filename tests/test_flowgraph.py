@@ -254,3 +254,43 @@ def test_flowgraph_udp_iq_source(tmp_path, cfg):
     frames = fg.run()
     t.join()
     assert [f.mac_payload for f in frames] == [DEADBEEF]
+
+
+def test_message_only_graph():
+    """message_socket_source -> message sink graph (the reference's
+    republish topology, lib/message_socket_source_impl.cc:49-97)."""
+    import socket
+    import threading
+    import time as _time
+
+    from lora_tpu.flowgraph import Flowgraph
+    from lora_tpu.io.frames import Frame, PhyHeader
+
+    spec = {
+        "options": {"id": "msg_graph"},
+        "blocks": [
+            {"name": "src", "id": "message_socket_source",
+             "parameters": {"addr": "127.0.0.1", "port": 40977}},
+            {"name": "collect", "id": "frame_collect_sink"},
+        ],
+        "connections": [["src", "out", "collect", "in"]],
+    }
+    fg = Flowgraph(spec)
+    frame = Frame(phy_header=PhyHeader(length=2, cr=4, has_mac_crc=1),
+                  payload=b"\xab\xcd\x01\x02")
+    payload = frame.to_bytes(0)  # full loratap datagram
+
+    def send():
+        _time.sleep(0.3)
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for _ in range(3):
+            s.sendto(payload, ("127.0.0.1", 40977))
+            _time.sleep(0.05)
+        s.close()
+
+    t = threading.Thread(target=send)
+    t.start()
+    frames = fg.run(max_frames=3, max_seconds=5.0)
+    t.join()
+    assert len(frames) == 3
+    assert frames[0].payload == b"\xab\xcd\x01\x02"
