@@ -96,3 +96,26 @@ def test_detection_sensitivity_matches_golden(snr_db):
     assert [f.mac_payload for f in golden] == [b"\xde\xad\xbe\xef"] * 2
     got = sorted(f.mac_payload for f in dense)
     assert got == [f.mac_payload for f in golden]
+
+
+@pytest.mark.parametrize("snr_db", [30.0, 10.0])
+def test_dense_snr_matches_golden(snr_db):
+    """Dense SNR now uses the reference's power-queue method
+    (lib/decoder_impl.cc:360,377-383): signal = the firing DETECT
+    window, noise = 3 DETECT windows earlier — it must agree with
+    golden's estimate (which mirrors the reference exactly) to well
+    under a dB. Both read ~8 dB above the nominal wideband SNR because
+    the channel filter strips out-of-band noise first."""
+    from lora_tpu.receiver import LoRaReceiver
+
+    x = modulate_frame(CFG, b"\xde\xad\xbe\xef", pad_before=9000,
+                       pad_after=2048, snr_db=snr_db, seed=2)
+    kw = dict(samp_rate=1e6, center_freq=868.1e6, channel_list=[868.1e6],
+              bandwidth=125e3, sf=7, cr=4, crc=True)
+    g = LoRaReceiver(engine="golden", **kw).receive(x)
+    d = LoRaReceiver(engine="dense", max_candidates=2, max_symbols=24,
+                     **kw).receive(x)
+    assert len(g) == len(d) == 1
+    db_g = 10 * np.log10(g[0].snr)
+    db_d = 10 * np.log10(d[0].snr)
+    assert abs(db_g - db_d) < 1.0, (db_g, db_d)
