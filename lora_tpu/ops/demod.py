@@ -280,10 +280,21 @@ def max_frequency_gradient_idx(window, n_bins: int, decim: int, xp=np):
     at bin 1; the stored index is ``i+1``; result is
     ``(N - max_index) % N`` with ``max_index = 0`` when no gradient exceeds
     the threshold.
+
+    Deliberate robustness deviation: the LAST gradient (between the final
+    two averaged bins) is excluded from the scan. Its winning maps to
+    ``max_index = N`` -> bin ``0``, which is already the not-found default,
+    so excluding it never changes a correct read — but it removes a real
+    failure mode: on an *exactly* symbol-aligned window the channel
+    filter's transition into the next symbol contaminates the final 1-2
+    ifreq samples with a pi-wrap glitch whose gradient can exceed the true
+    in-window wrap (observed at SF11: spurious 0.97 vs true 0.62),
+    misreading the symbol as bin 0. The reference scans all bins but its
+    sliding-xcorr sync lands a sample early in practice, masking the edge.
     """
     ifr = instantaneous_frequency(window, xp=xp)
     avg = ifr[..., : n_bins * decim].reshape(ifr.shape[:-1] + (n_bins, decim)).sum(axis=-1) / decim
-    grad = avg[..., :-1] - avg[..., 1:]  # grad[i-1] = avg[i-1] - avg[i], i = 1..N-1
+    grad = avg[..., :-2] - avg[..., 1:-1]  # grad[i-1] = avg[i-1] - avg[i], i = 1..N-2
     best = xp.argmax(grad, axis=-1)  # first max wins, matches strict > scan
     found = xp.take_along_axis(grad, best[..., None], axis=-1)[..., 0] > 0.1
     max_index = xp.where(found, best + 2, 0)  # reference stores i+1, i = best+1

@@ -50,3 +50,40 @@ def test_decim2_noise_tipped_sync_decodes(seed):
     frames = rx.run(stream)
     assert len(frames) == 1
     assert frames[0].mac_payload == payload
+
+
+def test_gradient_excludes_window_edge_glitch():
+    """Exactly symbol-aligned windows carry a pi-wrap ifreq glitch in the
+    final samples (the channel filter's transition into the NEXT symbol),
+    whose last-bin gradient can beat the true wrap and misread the symbol
+    as bin 0 (observed: SF11 CR4/5 reduced-rate suite trace). The scan
+    excludes the final gradient — it can only ever map to bin 0, which is
+    already the not-found default (see max_frequency_gradient_idx)."""
+    from lora_tpu.ops import demod
+
+    sf, decim = 11, 8
+    n_bins, sps = 1 << sf, (1 << sf) * decim
+    t = np.arange(2 * sps)
+    # two adjacent chirp symbols, shifts s0=1773 then s1 (FIR-smoothed join)
+    def chirp(s):
+        k = (np.arange(sps) + (s - 1) * decim) % sps
+        ph = 2 * np.pi * (k * k / (2.0 * sps * decim) - k / (2.0 * decim))
+        return np.exp(1j * ph).astype(np.complex64)
+
+    clean = chirp(1773)
+    expected = int(demod.max_frequency_gradient_idx(clean, n_bins, decim))
+    assert expected != 0  # a real in-window wrap exists
+    # pi-wrap glitch on the final sample pair (what the channel filter's
+    # transition into the next symbol produces on aligned windows): its
+    # last-bin gradient exceeds any true wrap
+    glitched = clean.copy()
+    glitched[-3:] *= np.exp(-2.0j * np.arange(1, 4))
+    b = int(demod.max_frequency_gradient_idx(glitched, n_bins, decim))
+    assert b == expected  # NOT the bin-0 misread
+    # sanity: the glitch really does dominate an all-bins scan
+    from lora_tpu.ops.chirp import instantaneous_frequency
+
+    ifr = instantaneous_frequency(glitched)
+    avg = ifr[: n_bins * decim].reshape(n_bins, decim).sum(-1) / decim
+    grad = avg[:-1] - avg[1:]
+    assert int(np.argmax(grad)) == n_bins - 2

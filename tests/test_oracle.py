@@ -239,3 +239,56 @@ def test_tx_frame_decoded_by_reference_chain(oracle, sf, cr):
     (ref,) = oracle("decode_block", stdin=_oracle_stdin(False, cr, 5, blocks))
     expected = payload + mac_crc(payload)
     assert bytes(ref[: len(expected)]) == expected
+
+
+@pytest.fixture(scope="session")
+def oracle_asan(tmp_path_factory):
+    """The same oracle binary built with AddressSanitizer, used to
+    *demonstrate* (not merely assert) reference memory-safety breaks."""
+    binary = tmp_path_factory.mktemp("oracle_asan") / "reference_oracle_asan"
+    subprocess.run(
+        [
+            "g++", "-O1", "-g", "-std=c++17", "-fsanitize=address",
+            f"-I{REF}/include", f"-I{REF}/lib",
+            "-o", str(binary), SRC,
+        ],
+        check=True,
+        capture_output=True,
+    )
+
+    def run(mode, *args, stdin: str = "") -> subprocess.CompletedProcess:
+        return subprocess.run(
+            [str(binary), mode, *map(str, args)],
+            input=stdin,
+            capture_output=True,
+            text=True,
+        )
+
+    return run
+
+
+def test_sf6_explicit_header_overruns_reference_chain(oracle_asan):
+    """Demonstrates WHY LoRaConfig rejects explicit-header SF6 (config.py):
+    the reference accepts sf=6 (decoder_impl.cc:57 `d_sf < 6` check passes)
+    but its header decode is structurally out of bounds there — one header
+    block deinterleaves to ``ppm = sf - 2 = 4`` rows (decoder_impl.cc:
+    535-565) while the header deshuffle consumes 5 codewords
+    (decoder_impl.cc:611-637, ``decode(true)``). Under AddressSanitizer the
+    reference chain (driven through its own compiled utilities.h primitives)
+    trips a container overflow at SF6; the identical call at SF7
+    (``ppm = 5``) is clean. This is a demonstrated parity *break*: the repo
+    deliberately rejects the configuration instead of reproducing the
+    overrun."""
+    rng = np.random.default_rng(0)
+
+    def stdin_for(ppm: int) -> str:
+        words = rng.integers(0, 1 << ppm, size=8)
+        lines = ["1 4 0 1", f"{ppm} 8 " + " ".join(map(str, words))]
+        return "\n".join(lines) + "\n"
+
+    sf7 = oracle_asan("decode_block", stdin=stdin_for(5))
+    assert sf7.returncode == 0, sf7.stderr
+
+    sf6 = oracle_asan("decode_block", stdin=stdin_for(4))
+    assert sf6.returncode != 0
+    assert "AddressSanitizer" in sf6.stderr
