@@ -110,8 +110,46 @@ def preamble_cfo(x2, sps: int, samp_rate: float, xp=np):
     return (ang / (2.0 * np.pi * sps) * samp_rate).astype("float32")
 
 
+def upchirp_sync_parab(windows2, fold_mat, sps: int, decim: int, xp=np):
+    """Upchirp alignment from ONE fold-DFT matmul + parabolic interpolation.
+
+    Same contract as :func:`upchirp_sync_coarse_fine` (``windows2``
+    ``[..., 2*sps]`` starting inside a run of repeated upchirps; returns a
+    sample offset of an upchirp boundary in ``[0, sps + 2*decim)``) but
+    with no ifreq pass, no per-lane segment gather and no sliding search:
+    the repeated preamble dechirps to ONE continuous tone (segments before
+    and after the chirp boundary carry the same shift, and LoRa chirps
+    close an integer cycle so the boundary is phase-continuous), so the
+    tone's *fractional* bin — three folded magnitudes around the argmax,
+    parabolic vertex — recovers the boundary to ~0.2 bin ≈ ``decim/5``
+    samples. That beats the coarse ``decim/2`` quantization of
+    :func:`upchirp_sync_coarse_fine`'s first stage and is within the fft
+    demod's ``±decim/2`` alignment tolerance, which is the only consumer
+    (the gradient engine keeps the exact ifreq search for its fine-sync
+    feedback). Used by the dense fft engine's Phase B, where the ifreq
+    refine was the single most expensive stage (see docs/perf/NOTES.md).
+    """
+    er, ei = fold_mat
+    w = windows2[..., :sps]
+    wr, wi = xp.real(w), xp.imag(w)
+    fr = wr @ er - wi @ ei
+    fi = wr @ ei + wi @ er
+    m = fr * fr + fi * fi                      # [..., n_bins] folded power
+    n = m.shape[-1]
+    j = xp.argmax(m, axis=-1)
+    m0 = xp.take_along_axis(m, j[..., None], axis=-1)[..., 0]
+    ml = xp.take_along_axis(m, ((j - 1) % n)[..., None], axis=-1)[..., 0]
+    mr = xp.take_along_axis(m, ((j + 1) % n)[..., None], axis=-1)[..., 0]
+    denom = ml - 2.0 * m0 + mr
+    p = xp.where(xp.abs(denom) > 1e-20, 0.5 * (ml - mr) / denom, 0.0)
+    d0 = sps - (j.astype("float32") + p) * decim
+    i0 = xp.clip(xp.round(d0), 0, sps + 2 * decim - 1).astype("int32")
+    return i0, None
+
+
 def chirp_coarse_cfo(up_window, sfd_window, upchirp, downchirp,
-                     n_bins: int, sps: int, samp_rate: float, xp=np):
+                     n_bins: int, sps: int, samp_rate: float, xp=np,
+                     fold_down=None, fold_up=None):
     """Coarse full-range CFO via chirp CFO/STO separation.
 
     A carrier offset ``f`` and a timing offset ``tau`` shift the
@@ -127,9 +165,19 @@ def chirp_coarse_cfo(up_window, sfd_window, upchirp, downchirp,
     Works for both sync conventions (the ifreq correlation sync is
     CFO-invariant, ``tau ~= 0``; a dechirp-FFT sync absorbs the CFO
     into ``tau`` — the average is correct either way).
+
+    ``fold_down``/``fold_up``: optional precomputed fold-DFT matrices
+    (:func:`make_fold_dft` of the down/up chirp) — same folded-argmax
+    result through one MXU matmul instead of an FFT + scatter-fold (the
+    ``.at[].add`` straddle bin lowers to a per-lane scatter under vmap,
+    measurably slow on the dense hot path).
     """
-    b_up = fft_shift_idx(up_window, downchirp, n_bins, sps, xp=xp)
-    b_dn = fft_shift_idx(sfd_window, upchirp, n_bins, sps, xp=xp)
+    if fold_down is not None and fold_up is not None:
+        b_up = fft_shift_idx_mm(up_window, fold_down, xp=xp)
+        b_dn = fft_shift_idx_mm(sfd_window, fold_up, xp=xp)
+    else:
+        b_up = fft_shift_idx(up_window, downchirp, n_bins, sps, xp=xp)
+        b_dn = fft_shift_idx(sfd_window, upchirp, n_bins, sps, xp=xp)
     s_up = xp.where(b_up > n_bins // 2, b_up - n_bins, b_up)
     s_dn = xp.where(b_dn > n_bins // 2, b_dn - n_bins, b_dn)
     return ((s_up + s_dn).astype("float32") / 2.0) * (samp_rate / sps)
@@ -258,11 +306,19 @@ def downchirp_pearson(window, downchirp_ifreq, sps: int, xp=np):
     n = sps - 1
     x = instantaneous_frequency(window, xp=xp)[..., :n]
     y = downchirp_ifreq[:n]
-    mx = xp.mean(x, axis=-1, keepdims=True)
-    my = xp.mean(y, axis=-1)
-    sx = xp.sqrt(xp.mean((x - mx) ** 2, axis=-1))
-    sy = xp.sqrt(xp.mean((y - my) ** 2, axis=-1))
-    num = xp.sum((x - mx) * (y - my), axis=-1)
+    # single-pass moment form (algebraically identical to the reference's
+    # centered two-pass): sum((x-mx)(y-my)) = x . (y-my) since the
+    # centered reference sums to zero, and var(x) = E[x^2] - mx^2 — three
+    # fused reductions over x instead of materialised centered broadcasts
+    # (the SFD walk evaluates this per lane per window on the hot path;
+    # the y statistics are compile-time constants there)
+    yc = y - xp.mean(y)
+    sy = xp.sqrt(xp.mean(yc * yc))
+    mx = xp.sum(x, axis=-1) / n
+    ex2 = xp.sum(x * x, axis=-1) / n
+    var = xp.maximum(ex2 - mx * mx, 0.0)
+    sx = xp.sqrt(var)
+    num = x @ yc.astype(x.dtype)
     # A zero-variance window (e.g. all-zero padding) makes the reference
     # compute NaN, which fails both the >0.96 and <-0.97 threshold tests;
     # 0.0 fails them identically without the NaN propagating.
@@ -281,20 +337,34 @@ def max_frequency_gradient_idx(window, n_bins: int, decim: int, xp=np):
     ``(N - max_index) % N`` with ``max_index = 0`` when no gradient exceeds
     the threshold.
 
-    Deliberate robustness deviation: the LAST gradient (between the final
-    two averaged bins) is excluded from the scan. Its winning maps to
-    ``max_index = N`` -> bin ``0``, which is already the not-found default,
-    so excluding it never changes a correct read — but it removes a real
-    failure mode: on an *exactly* symbol-aligned window the channel
-    filter's transition into the next symbol contaminates the final 1-2
-    ifreq samples with a pi-wrap glitch whose gradient can exceed the true
+    Deliberate robustness deviation: the final phase-diff sample (and its
+    duplicate, see :func:`instantaneous_frequency`) is excluded from the
+    LAST bin's average. On an *exactly* symbol-aligned window the channel
+    filter's transition into the next symbol contaminates that one diff
+    with a pi-wrap glitch, whose last-bin gradient can exceed the true
     in-window wrap (observed at SF11: spurious 0.97 vs true 0.62),
-    misreading the symbol as bin 0. The reference scans all bins but its
-    sliding-xcorr sync lands a sample early in practice, masking the edge.
+    misreading the symbol as bin 0. Every true wrap sits at or left of the
+    last bin's left boundary (``wrap = sps - s*decim <= (N-1)*decim``), so
+    trimming the bin's tail never hides a genuine jump — in particular
+    bin-0 symbols (wrap exactly at that boundary) still read 0 through the
+    last gradient. The reference averages all samples but its sliding-xcorr
+    sync lands a sample early in practice, masking the edge. No trim at
+    ``decim <= 2`` (the last bin would be empty; auto engine selection
+    avoids the gradient method below decim 4 anyway).
     """
     ifr = instantaneous_frequency(window, xp=xp)
-    avg = ifr[..., : n_bins * decim].reshape(ifr.shape[:-1] + (n_bins, decim)).sum(axis=-1) / decim
-    grad = avg[..., :-2] - avg[..., 1:-1]  # grad[i-1] = avg[i-1] - avg[i], i = 1..N-2
+    use = ifr[..., : n_bins * decim].reshape(ifr.shape[:-1] + (n_bins, decim))
+    sums = use.sum(axis=-1)
+    trim = 2 if decim > 2 else 0
+    if trim:
+        tail = use[..., -1, decim - trim :].sum(axis=-1)
+        last = (sums[..., -1] - tail) / (decim - trim)
+        avg = xp.concatenate(
+            [sums[..., :-1] / decim, last[..., None]], axis=-1
+        )
+    else:
+        avg = sums / decim
+    grad = avg[..., :-1] - avg[..., 1:]  # grad[i-1] = avg[i-1] - avg[i], i = 1..N-1
     best = xp.argmax(grad, axis=-1)  # first max wins, matches strict > scan
     found = xp.take_along_axis(grad, best[..., None], axis=-1)[..., 0] > 0.1
     max_index = xp.where(found, best + 2, 0)  # reference stores i+1, i = best+1

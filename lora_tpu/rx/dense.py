@@ -143,6 +143,13 @@ class DenseReceiver:
             if self.sps * self.n_bins <= 16 * 1024 * 1024
             else None
         )
+        # upchirp fold (SFD downchirp dechirped by the upchirp) for the
+        # coarse-CFO matmul path; same size budget as _fold_mat
+        self._fold_up = (
+            demod.make_fold_dft(up, self.sps, self.n_bins)
+            if self._fold_mat is not None
+            else None
+        )
 
         # per-packet region: sync(2) + sfd_search + 2.25 + 8 hdr + S payload
         self.pkt_samples = (self.F + 13 + self.S) * self.sps
@@ -182,12 +189,21 @@ class DenseReceiver:
             # The fft demod has no per-symbol drift feedback, so every
             # window position is static given the sync point — the whole
             # candidate runs as batched kernels instead of sequential
-            # scans, and sync uses the O(sps log sps) dechirp-FFT search
-            # instead of the O(sps^2) sliding correlation.
-            i0, _ = demod.upchirp_sync_coarse_fine(
-                region[: 2 * sps], self._down, self._up_ifreq, sps,
-                self.n_bins, self.decim, xp=jnp, fold_mat=self._fold_mat,
-            )
+            # scans. Sync: one fold-DFT matmul + parabolic peak (within
+            # the fft demod's ±decim/2 alignment tolerance, and ~9 ms
+            # cheaper per 512-lane block than the ifreq-xcorr refine at
+            # the bench geometry — docs/perf/NOTES.md); coarse+fine ifreq
+            # refine kept as the no-fold-matrix fallback.
+            if self._fold_mat is not None:
+                i0, _ = demod.upchirp_sync_parab(
+                    region[: 2 * sps], self._fold_mat, sps, self.decim,
+                    xp=jnp,
+                )
+            else:
+                i0, _ = demod.upchirp_sync_coarse_fine(
+                    region[: 2 * sps], self._down, self._up_ifreq, sps,
+                    self.n_bins, self.decim, xp=jnp, fold_mat=self._fold_mat,
+                )
             return self._decode_candidate_static(
                 region, i0.astype(jnp.int32), collect=collect
             )
@@ -232,7 +248,8 @@ class DenseReceiver:
         up_win = jax.lax.dynamic_slice(region, (i0.astype(jnp.int32),), (sps,))
         coarse = demod.chirp_coarse_cfo(
             up_win, sfd_win, self._up, self._down, self.n_bins, sps,
-            cfg.samp_rate, xp=jnp,
+            cfg.samp_rate, xp=jnp, fold_down=self._fold_mat,
+            fold_up=self._fold_up,
         )
         cfo = demod.combine_cfo(coarse, frac_cfo, sps, cfg.samp_rate, xp=jnp)
         # data starts 2.25 symbols after SFD start (FIND_SFD consume +
@@ -308,7 +325,8 @@ class DenseReceiver:
         up_win = jax.lax.dynamic_slice(region, (i0,), (sps,))
         coarse = demod.chirp_coarse_cfo(
             up_win, sfd_win, self._up, self._down, self.n_bins, sps,
-            cfg.samp_rate, xp=jnp,
+            cfg.samp_rate, xp=jnp, fold_down=self._fold_mat,
+            fold_up=self._fold_up,
         )
         cfo = demod.combine_cfo(coarse, frac_cfo, sps, cfg.samp_rate, xp=jnp)
 

@@ -52,19 +52,19 @@ def test_decim2_noise_tipped_sync_decodes(seed):
     assert frames[0].mac_payload == payload
 
 
-def test_gradient_excludes_window_edge_glitch():
-    """Exactly symbol-aligned windows carry a pi-wrap ifreq glitch in the
-    final samples (the channel filter's transition into the NEXT symbol),
-    whose last-bin gradient can beat the true wrap and misread the symbol
-    as bin 0 (observed: SF11 CR4/5 reduced-rate suite trace). The scan
-    excludes the final gradient — it can only ever map to bin 0, which is
-    already the not-found default (see max_frequency_gradient_idx)."""
+def test_gradient_trims_window_edge_glitch():
+    """Exactly symbol-aligned windows carry a pi-wrap glitch in the FINAL
+    phase-diff sample (the channel filter's transition into the NEXT
+    symbol), whose last-bin gradient can beat the true wrap and misread
+    the symbol as bin 0 (observed: SF11 CR4/5 reduced-rate suite trace).
+    The last averaging bin excludes that diff (and its duplicate); all
+    true wraps sit at/left of the bin's left boundary so nothing genuine
+    is hidden (see max_frequency_gradient_idx)."""
     from lora_tpu.ops import demod
 
     sf, decim = 11, 8
     n_bins, sps = 1 << sf, (1 << sf) * decim
-    t = np.arange(2 * sps)
-    # two adjacent chirp symbols, shifts s0=1773 then s1 (FIR-smoothed join)
+
     def chirp(s):
         k = (np.arange(sps) + (s - 1) * decim) % sps
         ph = 2 * np.pi * (k * k / (2.0 * sps * decim) - k / (2.0 * decim))
@@ -73,17 +73,44 @@ def test_gradient_excludes_window_edge_glitch():
     clean = chirp(1773)
     expected = int(demod.max_frequency_gradient_idx(clean, n_bins, decim))
     assert expected != 0  # a real in-window wrap exists
-    # pi-wrap glitch on the final sample pair (what the channel filter's
-    # transition into the next symbol produces on aligned windows): its
-    # last-bin gradient exceeds any true wrap
+    # pi-wrap glitch on the final diff (rotate only the last sample, the
+    # filter-transition signature: instantaneous_frequency duplicates it)
     glitched = clean.copy()
-    glitched[-3:] *= np.exp(-2.0j * np.arange(1, 4))
+    glitched[-1] *= np.exp(-3.4j)
     b = int(demod.max_frequency_gradient_idx(glitched, n_bins, decim))
     assert b == expected  # NOT the bin-0 misread
-    # sanity: the glitch really does dominate an all-bins scan
+    # sanity: with untrimmed averaging the glitch dominates the scan
     from lora_tpu.ops.chirp import instantaneous_frequency
 
     ifr = instantaneous_frequency(glitched)
     avg = ifr[: n_bins * decim].reshape(n_bins, decim).sum(-1) / decim
     grad = avg[:-1] - avg[1:]
     assert int(np.argmax(grad)) == n_bins - 2
+
+
+def test_gradient_bin0_survives_edge_trim():
+    """A true bin-0 symbol's wrap lies exactly at the last bin's LEFT
+    boundary — the edge trim must not hide it (regression: an earlier
+    exclude-the-last-gradient variant broke every `ffff` payload at SF7,
+    whose bin-0 symbols then read as the second-best gradient's bin)."""
+    from lora_tpu.ops import demod
+
+    sf, decim = 7, 8
+    n_bins, sps = 1 << sf, (1 << sf) * decim
+
+    def chirp(s):
+        k = (np.arange(sps) + (s - 1) * decim) % sps
+        ph = 2 * np.pi * (k * k / (2.0 * sps * decim) - k / (2.0 * decim))
+        return np.exp(1j * ph).astype(np.complex64)
+
+    # weak interior ripple above the 0.1 threshold that must NOT win
+    ripple = np.exp(0.02j * np.sin(np.arange(sps) / 7.0)).astype(np.complex64)
+    for s, want in ((1, 0), (128, 126), (65, 64)):
+        w = chirp(s) * ripple
+        got = int(demod.max_frequency_gradient_idx(w, n_bins, decim))
+        # convention: gradient reads shift s as bin (s-2) mod N except the
+        # unshifted chirp; pin against the clean-chirp read instead
+        clean = int(demod.max_frequency_gradient_idx(chirp(s), n_bins, decim))
+        assert got == clean
+        w[-1] *= np.exp(-2.5j)
+        assert int(demod.max_frequency_gradient_idx(w, n_bins, decim)) == clean

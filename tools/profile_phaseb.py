@@ -75,9 +75,14 @@ def main():
                 region = jax.lax.complex(raw[0], raw[1])
                 if stage == "gather":
                     return jnp.sum(jnp.real(region))
-                i0, _ = demod.upchirp_sync_coarse_fine(
-                    region[: 2 * sps], rx._down, rx._up_ifreq, sps,
-                    rx.n_bins, rx.decim, xp=jnp, fold_mat=rx._fold_mat)
+                if rx._fold_mat is not None:
+                    i0, _ = demod.upchirp_sync_parab(
+                        region[: 2 * sps], rx._fold_mat, sps, rx.decim,
+                        xp=jnp)
+                else:
+                    i0, _ = demod.upchirp_sync_coarse_fine(
+                        region[: 2 * sps], rx._down, rx._up_ifreq, sps,
+                        rx.n_bins, rx.decim, xp=jnp, fold_mat=rx._fold_mat)
                 i0 = i0.astype(jnp.int32)
                 if stage == "sync":
                     return i0
@@ -98,7 +103,8 @@ def main():
                 up_win = jax.lax.dynamic_slice(region, (i0,), (sps,))
                 coarse = demod.chirp_coarse_cfo(
                     up_win, sfd_win, rx._up, rx._down, rx.n_bins, sps,
-                    cfg.samp_rate, xp=jnp)
+                    cfg.samp_rate, xp=jnp, fold_down=rx._fold_mat,
+                    fold_up=rx._fold_up)
                 cfo = demod.combine_cfo(coarse, frac, sps, cfg.samp_rate,
                                         xp=jnp)
                 if stage == "cfo":
