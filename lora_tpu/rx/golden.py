@@ -236,6 +236,18 @@ class GoldenReceiver:
                         self.payload_symbols = 1
                     else:
                         decoded = self._decode(True)
+                        if len(decoded) < 3:
+                            # A prior garbage header can leave phdr.cr == 0,
+                            # whose decode branch yields no bytes; the
+                            # reference then memcpy's 3 bytes from an empty
+                            # vector (decoder_impl.cc:826, undefined reads).
+                            # Refuse to mirror the UB: drop sync, back to
+                            # DETECT (garbage headers can't produce a valid
+                            # frame either way). Surfaced by the *drift*
+                            # suites' occasional mis-synced candidates.
+                            self._reset_all()
+                            p += sps
+                            continue
                         self.phdr = PhyHeader.from_bytes(bytes(decoded[:3]))
                         if self.phdr.cr > 4:
                             self.phdr.cr = 4  # reference :834-835

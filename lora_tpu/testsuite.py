@@ -127,6 +127,7 @@ def generate_suite(
     snr_db: float = 40.0,
     cfo_hz: float = 0.0,
     seed: int = 0,
+    drift_ppm: float = 0.0,
 ) -> str:
     """Create a hermetic SigMF suite under ``out_dir/suite``.
 
@@ -137,13 +138,20 @@ def generate_suite(
     Suite-name modifiers extend past the reference's OTA matrix:
     ``*implicit*`` -> implicit-header frames (no PHY header, energy-stop
     end-of-frame, expected = block-padded payload); ``*conj*`` -> downlink
-    (conjugated chirp) frames.
+    (conjugated chirp) frames; ``*drift*`` -> transmitter sample-clock
+    offset (``drift_ppm``, default 30 ppm — a typical crystal tolerance),
+    applied by fractionally resampling each emitted packet. This is the
+    impairment the reference's per-symbol fine-sync loop exists to track
+    (lib/decoder_impl.cc:300-338): the receiver's symbol grid slides ~
+    ``sps * ppm * 1e-6`` samples per symbol against the transmitter's.
     """
     suite_dir = os.path.join(out_dir, suite)
     os.makedirs(suite_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     implicit = "implicit" in suite
     conj = "conj" in suite and "implicit" not in suite
+    if "drift" in suite and drift_ppm == 0.0:
+        drift_ppm = 30.0
     idx = 0
     if suite.startswith("decode_long"):
         cases = [(sf, 4, bytes(range(255)).hex(), 1) for sf in sfs]
@@ -163,15 +171,22 @@ def generate_suite(
         payload = bytes.fromhex(payload_hex)
         chunks = []
         for t in range(times):
-            chunks.append(
-                modulate_frame(
-                    cfg, payload,
-                    pad_before=int(rng.integers(2000, 4000)),
-                    pad_after=sps,
-                    snr_db=snr_db, cfo_hz=cfo_hz,
-                    seed=int(rng.integers(0, 2**31)),
-                )
+            chunk = modulate_frame(
+                cfg, payload,
+                pad_before=int(rng.integers(2000, 4000)),
+                pad_after=sps,
+                snr_db=snr_db, cfo_hz=cfo_hz,
+                seed=int(rng.integers(0, 2**31)),
             )
+            if drift_ppm:
+                from .channelizer import fractional_resampler
+
+                # receiver sampling a (1 + ppm)-fast transmitter clock:
+                # resample signal+noise by the clock ratio
+                chunk = fractional_resampler(
+                    chunk, 1.0 + drift_ppm * 1e-6
+                ).astype(np.complex64)
+            chunks.append(chunk)
         chunks.append(np.zeros(3 * sps, np.complex64))
         stream = np.concatenate(chunks)
         stem = os.path.join(
