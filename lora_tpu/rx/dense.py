@@ -186,27 +186,13 @@ class DenseReceiver:
         sps = self.sps
 
         if self.method == "fft":
-            # The fft demod has no per-symbol drift feedback, so every
-            # window position is static given the sync point — the whole
-            # candidate runs as batched kernels instead of sequential
-            # scans. Sync: one fold-DFT matmul + parabolic peak (within
-            # the fft demod's ±decim/2 alignment tolerance, and ~9 ms
-            # cheaper per 512-lane block than the ifreq-xcorr refine at
-            # the bench geometry — docs/perf/NOTES.md); coarse+fine ifreq
-            # refine kept as the no-fold-matrix fallback.
-            if self._fold_mat is not None:
-                i0, _ = demod.upchirp_sync_parab(
-                    region[: 2 * sps], self._fold_mat, sps, self.decim,
-                    xp=jnp,
-                )
-            else:
-                i0, _ = demod.upchirp_sync_coarse_fine(
-                    region[: 2 * sps], self._down, self._up_ifreq, sps,
-                    self.n_bins, self.decim, xp=jnp, fold_mat=self._fold_mat,
-                )
-            return self._decode_candidate_static(
-                region, i0.astype(jnp.int32), collect=collect
-            )
+            pkt = self.pkt_samples
+
+            def win(off, n):
+                off = jnp.clip(off, 0, pkt - n)
+                return jax.lax.dynamic_slice(region, (off,), (n,))
+
+            return self._decode_candidate_fft(win, collect=collect)
 
         # --- SYNC: align to upchirp start (reference :770-783) ---
         i0, _ = demod.upchirp_sync_xcorr(region[: 2 * sps], self._up_ifreq, sps, xp=jnp)
@@ -292,19 +278,54 @@ class DenseReceiver:
             return out + (extras,)
         return out
 
-    def _decode_candidate_static(self, region, i0, collect: bool = False):
-        """Batched Phase B for the fft engine: no drift feedback, so SFD
-        search and symbol demod run as one-shot batched kernels."""
-        cfg = self.cfg
+    def _decode_candidate_fft(self, win, collect: bool = False):
+        """Phase B for the fft engine on a lazy window slicer.
+
+        ``win(offset, n)`` returns the complex window of length ``n`` at
+        region-relative sample ``offset`` (clamped to the packet region).
+        Slicing each sub-window straight from the source planes — instead
+        of materialising one ``pkt_samples`` region per lane — matters on
+        TPU: every consumer of a gathered region re-materialises it
+        (docs/perf/NOTES.md Phase B ablation), while the lazy windows
+        gather only the ~46 symbol windows actually read, once.
+
+        Sync: one fold-DFT matmul + parabolic peak (within the fft
+        demod's ±decim/2 alignment tolerance); coarse+fine ifreq refine
+        kept as the no-fold-matrix fallback.
+        """
         sps = self.sps
-        frac_cfo = demod.preamble_cfo(
-            jax.lax.dynamic_slice(region, (i0,), (2 * sps,)),
-            sps, cfg.samp_rate, xp=jnp,
+        w2 = win(0, 2 * sps)
+        if self._fold_mat is not None:
+            i0, _ = demod.upchirp_sync_parab(
+                w2, self._fold_mat, sps, self.decim, xp=jnp,
+            )
+        else:
+            i0, _ = demod.upchirp_sync_coarse_fine(
+                w2, self._down, self._up_ifreq, sps,
+                self.n_bins, self.decim, xp=jnp, fold_mat=None,
+            )
+        return self._decode_candidate_static(
+            win, i0.astype(jnp.int32), collect=collect
         )
 
+    def _decode_candidate_static(self, win, i0, collect: bool = False):
+        """Batched Phase B for the fft engine: no drift feedback, so SFD
+        search and symbol demod run as one-shot batched kernels.
+
+        ``win(offset, n)``: lazy window slicer (see
+        :meth:`_decode_candidate_fft`). The SFD block supplies the
+        preamble-CFO window (rows 0-1), the coarse-CFO upchirp (row 0),
+        the SFD downchirp (row ``first``) and the implicit energy
+        threshold window (row 0) — one gather serves all five consumers.
+        """
+        cfg = self.cfg
+        sps = self.sps
+
         # --- SFD search over F static symbol offsets from the sync point ---
-        sfd_wins = jax.lax.dynamic_slice(region, (i0,), (self.F * sps,)).reshape(
-            self.F, sps
+        sfd_flat = win(i0, self.F * sps)
+        sfd_wins = sfd_flat.reshape(self.F, sps)
+        frac_cfo = demod.preamble_cfo(
+            sfd_flat[: 2 * sps], sps, cfg.samp_rate, xp=jnp,
         )
         cs = jax.vmap(
             lambda w: demod.downchirp_pearson(w, self._down_ifreq, sps, xp=jnp)
@@ -319,10 +340,8 @@ class DenseReceiver:
         sfd_ok = found & (fails <= 4)
         p_found = i0 + first * sps
         # full-range CFO (see the gradient path / demod.sfd_coarse_cfo)
-        sfd_win = jax.lax.dynamic_slice(
-            region, (jnp.minimum(p_found, self.pkt_samples - sps),), (sps,)
-        )
-        up_win = jax.lax.dynamic_slice(region, (i0,), (sps,))
+        sfd_win = sfd_wins[first]
+        up_win = sfd_wins[0]
         coarse = demod.chirp_coarse_cfo(
             up_win, sfd_win, self._up, self._down, self.n_bins, sps,
             cfg.samp_rate, xp=jnp, fold_down=self._fold_mat,
@@ -335,9 +354,7 @@ class DenseReceiver:
 
         # --- batched demod: 8 header + S payload symbols, one FFT batch ---
         nsym = 8 + self.S
-        wins = jax.lax.dynamic_slice(region, (p_data,), (nsym * sps,)).reshape(
-            nsym, sps
-        )
+        wins = win(p_data, nsym * sps).reshape(nsym, sps)
         if self._fold_mat is not None:
             b_full = demod.fft_shift_idx_mm(wins, self._fold_mat, xp=jnp)
         else:
@@ -367,7 +384,7 @@ class DenseReceiver:
         if cfg.implicit:
             # energy-stop end-of-frame (reference :861-864): threshold is
             # half the preamble-window energy (set in DETECT, :356-357)
-            pre = jax.lax.dynamic_slice(region, (i0,), (sps,))
+            pre = up_win
             thr = jnp.sum(jnp.real(pre) ** 2 + jnp.imag(pre) ** 2) / 2.0
             e_sym = jnp.sum(
                 jnp.real(wins) ** 2 + jnp.imag(wins) ** 2, axis=-1
@@ -530,6 +547,36 @@ class DenseReceiver:
         start = jnp.clip(start.astype(jnp.int32), 0, L - pkt)
         return jax.lax.dynamic_slice_in_dim(stream, start, pkt, axis=-1)
 
+    def _candidate_win(self, stream, start, conj_sign: float = 1.0):
+        """Lazy per-candidate window slicer over the source stream.
+
+        ``stream``: packed float32 ``[2, L]`` or complex ``[L]`` (the
+        complex paths conjugate upstream). ``start``: absolute candidate
+        sample, clamped exactly like ``_region_from``. Returns
+        ``win(off, n)`` slicing ``stream[start+off : start+off+n]`` with
+        the region-bounds clamp on ``off``, building complex lazily from
+        the packed planes — each Phase B sub-window is one gather from the
+        source block, and the ``pkt_samples`` region is never
+        materialised (see ``_decode_candidate_fft``).
+        """
+        pkt = self.pkt_samples
+        L = stream.shape[-1]
+        if L < pkt:  # block shorter than one packet region: pad up
+            padc = [(0, 0)] * (stream.ndim - 1) + [(0, pkt - L)]
+            stream = jnp.pad(stream, padc)
+            L = pkt
+        start = jnp.clip(start.astype(jnp.int32), 0, L - pkt)
+        packed = stream.ndim == 2
+
+        def win(off, n):
+            pos = start + jnp.clip(off, 0, pkt - n)
+            w = jax.lax.dynamic_slice_in_dim(stream, pos, n, axis=-1)
+            if packed:
+                return jax.lax.complex(w[0], conj_sign * w[1])
+            return w
+
+        return win
+
     def _tail_ok(self, starts, L: int):
         """Lanes whose packet region fits inside the block (see
         ``_region_from``: clamped lanes decode a shifted region and must
@@ -586,6 +633,10 @@ class DenseReceiver:
         conj_sign = -1.0 if self.cfg.conj else 1.0
 
         def per_candidate(planes, start_win):
+            if self.method == "fft":
+                return self._decode_candidate_fft(
+                    self._candidate_win(planes, start_win * sps, conj_sign)
+                )
             raw = self._region_from(planes, start_win * sps)  # [2, pkt]
             return self._decode_candidate(
                 jax.lax.complex(raw[0], conj_sign * raw[1])
@@ -621,6 +672,10 @@ class DenseReceiver:
 
         def per_lane(ch, w):
             stream = jax.lax.dynamic_slice_in_dim(xf, ch, 1, axis=0)[0]
+            if self.method == "fft":
+                return self._decode_candidate_fft(
+                    self._candidate_win(stream, w * sps, conj_sign)
+                )
             raw = self._region_from(stream, w * sps)
             return self._decode_candidate(
                 jax.lax.complex(raw[0], conj_sign * raw[1])
@@ -707,6 +762,10 @@ class DenseReceiver:
         snr = self._snr_from_energy(e1, starts)
 
         def per_candidate(stream, start_win):
+            if self.method == "fft":
+                return self._decode_candidate_fft(
+                    self._candidate_win(stream, start_win * sps)
+                )
             return self._decode_candidate(
                 self._region_from(stream, start_win * sps)
             )
@@ -752,6 +811,10 @@ class DenseReceiver:
 
         def per_lane(ch, w):
             stream = jax.lax.dynamic_slice_in_dim(x, ch, 1, axis=0)[0]
+            if self.method == "fft":
+                return self._decode_candidate_fft(
+                    self._candidate_win(stream, w * sps)
+                )
             return self._decode_candidate(self._region_from(stream, w * sps))
 
         ok, pay, plen, hdr, cfo = jax.vmap(per_lane)(chan, win)
@@ -811,6 +874,12 @@ class DenseReceiver:
                 s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
 
                 def per_candidate(start_win):
+                    if self.method == "fft":
+                        return self._decode_candidate_fft(
+                            self._candidate_win(xf, start_win * sps,
+                                                conj_sign),
+                            collect=True,
+                        )
                     raw = self._region_from(xf, start_win * sps)
                     return self._decode_candidate(
                         jax.lax.complex(raw[0], conj_sign * raw[1]),
