@@ -179,32 +179,41 @@ class DenseReceiver:
     def _decode_candidate(self, region, collect: bool = False):
         """Phase B for one packet region ``[pkt_samples]`` complex64.
 
+        Compatibility wrapper: builds a lazy window slicer over the
+        materialised region and dispatches to the method-specific path.
+        The process entry points skip this and slice from the source
+        planes directly (see ``_candidate_win``)."""
+        pkt = self.pkt_samples
+
+        def win(off, n):
+            off = jnp.clip(off, 0, pkt - n)
+            return jax.lax.dynamic_slice(region, (off,), (n,))
+
+        if self.method == "fft":
+            return self._decode_candidate_fft(win, collect=collect)
+        return self._decode_candidate_grad(win, collect=collect)
+
+    def _decode_candidate_grad(self, win, collect: bool = False):
+        """Gradient-engine Phase B on a lazy window slicer (see
+        :meth:`_decode_candidate_fft` for the slicer contract and why
+        lazy windows beat a materialised per-lane region).
+
         ``collect=True`` (static) additionally returns a dict of
         intermediate arrays — the jitted-pipeline analogue of the
         reference's GRLORA_DEBUG taps (see :meth:`debug_trace`)."""
         cfg = self.cfg
         sps = self.sps
 
-        if self.method == "fft":
-            pkt = self.pkt_samples
-
-            def win(off, n):
-                off = jnp.clip(off, 0, pkt - n)
-                return jax.lax.dynamic_slice(region, (off,), (n,))
-
-            return self._decode_candidate_fft(win, collect=collect)
-
         # --- SYNC: align to upchirp start (reference :770-783) ---
-        i0, _ = demod.upchirp_sync_xcorr(region[: 2 * sps], self._up_ifreq, sps, xp=jnp)
+        i0, _ = demod.upchirp_sync_xcorr(win(0, 2 * sps), self._up_ifreq, sps, xp=jnp)
         frac_cfo = demod.preamble_cfo(
-            jax.lax.dynamic_slice(region, (i0.astype(jnp.int32),), (2 * sps,)),
-            sps, cfg.samp_rate, xp=jnp,
+            win(i0.astype(jnp.int32), 2 * sps), sps, cfg.samp_rate, xp=jnp,
         )
 
         # --- FIND_SFD walk (reference :785-818) ---
         def sfd_step(carry, k):
             p, fails, found, p_found = carry
-            w = jax.lax.dynamic_slice(region, (p,), (sps,))
+            w = win(p, sps)
             c = demod.downchirp_pearson(w, self._down_ifreq, sps, xp=jnp)
             hit = (c > 0.96) & (~found)
             is_up = c < -0.97
@@ -228,10 +237,8 @@ class DenseReceiver:
         sfd_ok = found & (fails <= 4)
         # full-range CFO: integer-bin part from the SFD downchirp +
         # fractional part from the preamble phase (see demod.sfd_coarse_cfo)
-        sfd_win = jax.lax.dynamic_slice(
-            region, (jnp.minimum(p_found, self.pkt_samples - sps),), (sps,)
-        )
-        up_win = jax.lax.dynamic_slice(region, (i0.astype(jnp.int32),), (sps,))
+        sfd_win = win(p_found, sps)
+        up_win = win(i0.astype(jnp.int32), sps)
         coarse = demod.chirp_coarse_cfo(
             up_win, sfd_win, self._up, self._down, self.n_bins, sps,
             cfg.samp_rate, xp=jnp, fold_down=self._fold_mat,
@@ -245,7 +252,7 @@ class DenseReceiver:
         # --- demod scan: 8 header symbols + S payload symbols ---
         def dm_step(carry, k):
             p = carry
-            w = jax.lax.dynamic_slice(region, (jnp.minimum(p, self.pkt_samples - sps),), (sps,))
+            w = win(p, sps)
             is_hdr = k < 8
             b_full, fine = self._demod_symbol(w)
             reduced = is_hdr if not cfg.reduced_rate else jnp.bool_(True)
@@ -577,6 +584,12 @@ class DenseReceiver:
 
         return win
 
+    def _decode_lane(self, win, collect: bool = False):
+        """Method dispatch for one decode lane on a lazy slicer."""
+        if self.method == "fft":
+            return self._decode_candidate_fft(win, collect=collect)
+        return self._decode_candidate_grad(win, collect=collect)
+
     def _tail_ok(self, starts, L: int):
         """Lanes whose packet region fits inside the block (see
         ``_region_from``: clamped lanes decode a shifted region and must
@@ -633,13 +646,8 @@ class DenseReceiver:
         conj_sign = -1.0 if self.cfg.conj else 1.0
 
         def per_candidate(planes, start_win):
-            if self.method == "fft":
-                return self._decode_candidate_fft(
-                    self._candidate_win(planes, start_win * sps, conj_sign)
-                )
-            raw = self._region_from(planes, start_win * sps)  # [2, pkt]
-            return self._decode_candidate(
-                jax.lax.complex(raw[0], conj_sign * raw[1])
+            return self._decode_lane(
+                self._candidate_win(planes, start_win * sps, conj_sign)
             )
 
         fn = jax.vmap(per_candidate, in_axes=(None, 0))
@@ -672,13 +680,8 @@ class DenseReceiver:
 
         def per_lane(ch, w):
             stream = jax.lax.dynamic_slice_in_dim(xf, ch, 1, axis=0)[0]
-            if self.method == "fft":
-                return self._decode_candidate_fft(
-                    self._candidate_win(stream, w * sps, conj_sign)
-                )
-            raw = self._region_from(stream, w * sps)
-            return self._decode_candidate(
-                jax.lax.complex(raw[0], conj_sign * raw[1])
+            return self._decode_lane(
+                self._candidate_win(stream, w * sps, conj_sign)
             )
 
         ok, pay, plen, hdr, cfo = jax.vmap(per_lane)(chan, win)
@@ -762,12 +765,8 @@ class DenseReceiver:
         snr = self._snr_from_energy(e1, starts)
 
         def per_candidate(stream, start_win):
-            if self.method == "fft":
-                return self._decode_candidate_fft(
-                    self._candidate_win(stream, start_win * sps)
-                )
-            return self._decode_candidate(
-                self._region_from(stream, start_win * sps)
+            return self._decode_lane(
+                self._candidate_win(stream, start_win * sps)
             )
 
         fn = per_candidate
@@ -811,11 +810,7 @@ class DenseReceiver:
 
         def per_lane(ch, w):
             stream = jax.lax.dynamic_slice_in_dim(x, ch, 1, axis=0)[0]
-            if self.method == "fft":
-                return self._decode_candidate_fft(
-                    self._candidate_win(stream, w * sps)
-                )
-            return self._decode_candidate(self._region_from(stream, w * sps))
+            return self._decode_lane(self._candidate_win(stream, w * sps))
 
         ok, pay, plen, hdr, cfo = jax.vmap(per_lane)(chan, win)
         return PooledResult(
@@ -874,15 +869,8 @@ class DenseReceiver:
                 s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
 
                 def per_candidate(start_win):
-                    if self.method == "fft":
-                        return self._decode_candidate_fft(
-                            self._candidate_win(xf, start_win * sps,
-                                                conj_sign),
-                            collect=True,
-                        )
-                    raw = self._region_from(xf, start_win * sps)
-                    return self._decode_candidate(
-                        jax.lax.complex(raw[0], conj_sign * raw[1]),
+                    return self._decode_lane(
+                        self._candidate_win(xf, start_win * sps, conj_sign),
                         collect=True,
                     )
 

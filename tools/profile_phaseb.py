@@ -71,23 +71,16 @@ def main():
             starts = lanes(xf)
 
             def per_candidate(planes, sw):
-                raw = rx._region_from(planes, sw * sps)
-                region = jax.lax.complex(raw[0], raw[1])
+                win = rx._candidate_win(planes, sw * sps)
                 if stage == "gather":
-                    return jnp.sum(jnp.real(region))
-                if rx._fold_mat is not None:
-                    i0, _ = demod.upchirp_sync_parab(
-                        region[: 2 * sps], rx._fold_mat, sps, rx.decim,
-                        xp=jnp)
-                else:
-                    i0, _ = demod.upchirp_sync_coarse_fine(
-                        region[: 2 * sps], rx._down, rx._up_ifreq, sps,
-                        rx.n_bins, rx.decim, xp=jnp, fold_mat=rx._fold_mat)
+                    return jnp.sum(jnp.real(win(0, rx.pkt_samples)))
+                i0, _ = demod.upchirp_sync_parab(
+                    win(0, 2 * sps), rx._fold_mat, sps, rx.decim, xp=jnp)
                 i0 = i0.astype(jnp.int32)
                 if stage == "sync":
                     return i0
-                sfd_wins = jax.lax.dynamic_slice(
-                    region, (i0,), (rx.F * sps,)).reshape(rx.F, sps)
+                sfd_flat = win(i0, rx.F * sps)
+                sfd_wins = sfd_flat.reshape(rx.F, sps)
                 cs = jax.vmap(lambda w: demod.downchirp_pearson(
                     w, rx._down_ifreq, sps, xp=jnp))(sfd_wins)
                 first = jnp.argmax(cs > 0.96).astype(jnp.int32)
@@ -95,24 +88,18 @@ def main():
                 if stage == "sfd":
                     return p_found
                 frac = demod.preamble_cfo(
-                    jax.lax.dynamic_slice(region, (i0,), (2 * sps,)),
-                    sps, cfg.samp_rate, xp=jnp)
-                sfd_win = jax.lax.dynamic_slice(
-                    region, (jnp.minimum(p_found, rx.pkt_samples - sps),),
-                    (sps,))
-                up_win = jax.lax.dynamic_slice(region, (i0,), (sps,))
+                    sfd_flat[: 2 * sps], sps, cfg.samp_rate, xp=jnp)
                 coarse = demod.chirp_coarse_cfo(
-                    up_win, sfd_win, rx._up, rx._down, rx.n_bins, sps,
-                    cfg.samp_rate, xp=jnp, fold_down=rx._fold_mat,
-                    fold_up=rx._fold_up)
+                    sfd_wins[0], sfd_wins[first], rx._up, rx._down,
+                    rx.n_bins, sps, cfg.samp_rate, xp=jnp,
+                    fold_down=rx._fold_mat, fold_up=rx._fold_up)
                 cfo = demod.combine_cfo(coarse, frac, sps, cfg.samp_rate,
                                         xp=jnp)
                 if stage == "cfo":
                     return cfo
                 p_data = p_found + 2 * sps + cfg.delay_after_sync
                 nsym = 8 + rx.S
-                wins = jax.lax.dynamic_slice(
-                    region, (p_data,), (nsym * sps,)).reshape(nsym, sps)
+                wins = win(p_data, nsym * sps).reshape(nsym, sps)
                 b_full = demod.fft_shift_idx_mm(wins, rx._fold_mat, xp=jnp)
                 if stage == "demod":
                     return jnp.sum(b_full) + cfo.astype(jnp.int32)
