@@ -114,3 +114,22 @@ def test_gradient_bin0_survives_edge_trim():
         assert got == clean
         w[-1] *= np.exp(-2.5j)
         assert int(demod.max_frequency_gradient_idx(w, n_bins, decim)) == clean
+
+
+def test_dense_gradient_tracks_clock_drift():
+    """The dense gradient engine's demod scan carries the fine-sync drift
+    state (reference fine_sync, decoder_impl.cc:300-338) — a 10 ppm tx
+    sample-clock offset (TCXO-class) must decode cleanly."""
+    from lora_tpu.channelizer import fractional_resampler
+
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=1e6, crc=True)
+    sps = cfg.samples_per_symbol
+    payload = bytes([0xA7, 0x07, 0xF8])
+    pkt = modulate_frame(cfg, payload, pad_before=3000, pad_after=sps,
+                         snr_db=40.0, seed=3)
+    drifted = fractional_resampler(pkt, 1.0 + 10e-6).astype(np.complex64)
+    rx = DenseReceiver(cfg, max_candidates=4, max_symbols=24,
+                       sfd_search=12, demod_method="gradient")
+    frames = rx.run(drifted)
+    assert len(frames) == 1
+    assert frames[0].mac_payload == payload
