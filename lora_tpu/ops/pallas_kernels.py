@@ -83,10 +83,11 @@ def _det_call(xr, T: int, interpret: bool):
 
 
 def _det_kernel_pp(r_ref, i_ref, rn_ref, in_ref, corr_ref, ener_ref):
-    r = r_ref[0, :, :]       # [T, sps]
-    im = i_ref[0, :, :]
-    rn = jnp.concatenate([r[1:], rn_ref[0, 0:1, :]], axis=0)
-    imn = jnp.concatenate([im[1:], in_ref[0, 0:1, :]], axis=0)
+    # loads may be bf16 (half the HBM traffic); accumulate in f32
+    r = r_ref[0, :, :].astype(jnp.float32)       # [T, sps]
+    im = i_ref[0, :, :].astype(jnp.float32)
+    rn = jnp.concatenate([r[1:], rn_ref[0, 0:1, :].astype(jnp.float32)], axis=0)
+    imn = jnp.concatenate([im[1:], in_ref[0, 0:1, :].astype(jnp.float32)], axis=0)
     dot_re = jnp.sum(r * rn + im * imn, axis=1)
     dot_im = jnp.sum(im * rn - r * imn, axis=1)
     e = jnp.sum(r * r + im * im, axis=1)
@@ -102,11 +103,14 @@ def _det_call_pp(xr, T: int, interpret: bool):
     """Per-plane-block variant: each input block is ONE fully contiguous
     ``[T, sps]`` chunk of a plane row (vs the two-chunk ``[2, T, sps]``
     blocks of ``_det_call``), which reaches the measured contiguous-DMA
-    bandwidth tier (docs/perf/NOTES.md: 230 GB/s vs 140 GB/s)."""
+    bandwidth tier (docs/perf/NOTES.md: 230 GB/s vs 140 GB/s). Accepts
+    float32 or bfloat16 planes (bf16 halves the HBM traffic; the kernel
+    accumulates in f32 either way)."""
     C, _, K1, sps = xr.shape
     nb = K1 // T
     grid = (C, nb)
-    x3 = xr.reshape(C * 2, K1, sps)  # layout-preserving (K1, T mult. of 8)
+    x3 = xr.reshape(C * 2, K1, sps)  # layout-preserving (K1, T mult. of rows)
+    rows = 16 if xr.dtype == jnp.bfloat16 else 8  # (rows, 128) tiling
     kernel = pl.pallas_call(
         _det_kernel_pp,
         grid=grid,
@@ -116,15 +120,15 @@ def _det_call_pp(xr, T: int, interpret: bool):
             pl.BlockSpec((1, T, sps), lambda c, i: (2 * c + 1, i, 0),
                          memory_space=pltpu.VMEM),
             # first row of the next chunk (clamped at the last) for the
-            # chunk-crossing window; 8-row block for the (8,128) f32 tiling
+            # chunk-crossing window; `rows`-row block for the dtype tiling
             pl.BlockSpec(
-                (1, 8, sps),
-                lambda c, i: (2 * c, jnp.minimum((i + 1) * T // 8, K1 // 8 - 1), 0),
+                (1, rows, sps),
+                lambda c, i: (2 * c, jnp.minimum((i + 1) * T // rows, K1 // rows - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 8, sps),
-                lambda c, i: (2 * c + 1, jnp.minimum((i + 1) * T // 8, K1 // 8 - 1), 0),
+                (1, rows, sps),
+                lambda c, i: (2 * c + 1, jnp.minimum((i + 1) * T // rows, K1 // rows - 1), 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -169,7 +173,11 @@ def detection_metrics_pallas(xf, sps: int, interpret: bool = False,
     # Conservative model measured against the SF10/SF12 geometries.
     budget = 14 * 1024 * 1024
     t_max = (budget - 128 * sps) // (24 * sps)
-    for T in (256, 128, 64, 32, 16, 8):
+    # bf16 blocks tile at (16, 128): T must be a multiple of 16 so the
+    # next-chunk row block lands on a block boundary
+    t_choices = (256, 128, 64, 32, 16) if xf.dtype == jnp.bfloat16 \
+        else (256, 128, 64, 32, 16, 8)
+    for T in t_choices:
         if T <= t_max:
             break
     else:
@@ -191,7 +199,7 @@ def detection_metrics_pallas(xf, sps: int, interpret: bool = False,
     else:
         tail = xf[..., (K1r - 1) * sps : K1 * sps].reshape(
             C, 2, K1 - K1r + 1, sps
-        )
+        ).astype(jnp.float32)
         r, i = tail[:, 0], tail[:, 1]
         dot_re = jnp.sum(r[:, :-1] * r[:, 1:] + i[:, :-1] * i[:, 1:], axis=-1)
         dot_im = jnp.sum(i[:, :-1] * r[:, 1:] - r[:, :-1] * i[:, 1:], axis=-1)

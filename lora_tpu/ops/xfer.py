@@ -18,12 +18,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def pack_iq(x: np.ndarray) -> np.ndarray:
-    """complex ``[..., L]`` -> float32 ``[..., 2, L]`` (host-side)."""
+def pack_iq(x: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """complex ``[..., L]`` -> ``dtype`` ``[..., 2, L]`` planes (host-side).
+
+    ``dtype=jnp.bfloat16`` (via ml_dtypes) halves both the host->device
+    transfer and every HBM read of the block on device — the dense
+    pipeline is HBM-bandwidth bound, and bf16's ~2.6 significant digits
+    put quantization ~40 dB under the signal, far below the 10 dB
+    operating floor of the accuracy suites (see
+    tests/test_pallas_kernels.py bf16 coverage).
+    """
     x = np.asarray(x)
     if not np.iscomplexobj(x):
         raise TypeError("pack_iq expects a complex array")
-    return np.stack([x.real.astype(np.float32), x.imag.astype(np.float32)], axis=-2)
+    return np.stack([x.real.astype(dtype), x.imag.astype(dtype)], axis=-2)
 
 
 def unpack_iq(xf) -> jnp.ndarray:

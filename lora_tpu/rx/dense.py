@@ -579,6 +579,7 @@ class DenseReceiver:
             pos = start + jnp.clip(off, 0, pkt - n)
             w = jax.lax.dynamic_slice_in_dim(stream, pos, n, axis=-1)
             if packed:
+                w = w.astype(jnp.float32)  # planes may be bf16
                 return jax.lax.complex(w[0], conj_sign * w[1])
             return w
 

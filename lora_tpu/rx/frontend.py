@@ -50,6 +50,7 @@ def detection_metrics_planes(xf, sps: int):
     """
     L = xf.shape[-1]
     K = L // sps - 1
+    xf = xf.astype(jnp.float32)  # bf16 planes: convert fuses into the read
     r = xf[..., 0, : (K + 1) * sps].reshape(xf.shape[:-2] + (K + 1, sps))
     i = xf[..., 1, : (K + 1) * sps].reshape(xf.shape[:-2] + (K + 1, sps))
     # dot[k] = sum_t x[k,t] * conj(x[k+1,t])
