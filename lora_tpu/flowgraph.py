@@ -708,6 +708,7 @@ class Flowgraph:
             # message_socket_source republish topology)
             self.msg_source_name = msg_sources[0]
             self.source_name = self.rx_name = None
+            self.rx_names = []
             self.stream_chain = []
             self.collector = FrameCollectSink()
             self.msg_sinks = [self.collector]
@@ -718,42 +719,64 @@ class Flowgraph:
                     self.msg_sinks.append(self.blocks[b])
             return
         self.msg_source_name = None
-        if len(sources) != 1 or len(receivers) != 1:
+        if len(sources) != 1 or not receivers:
             raise ValueError(
-                f"a flowgraph needs exactly one source and one lora_receiver "
-                f"(or a single message_socket_source) "
+                f"a flowgraph needs exactly one source and at least one "
+                f"lora_receiver (or a single message_socket_source) "
                 f"(got sources={sources}, receivers={receivers})")
-        self.source_name, self.rx_name = sources[0], receivers[0]
+        self.source_name = sources[0]
+        self.rx_names = receivers
+        self.rx_name = receivers[0]  # back-compat accessor
 
-        # stream path: source -> (stream blocks) -> receiver
-        succ = {}
+        # stream path: source -> (stream blocks) -> receiver(s). GRC lets
+        # one source fan out to several lora_receiver blocks (the
+        # multi-SF monitoring topology); stream blocks must form one
+        # shared chain, with the fan-out at its end.
+        succ: Dict[str, List[str]] = {}
         for (a, ap, b, bp) in self.connections:
             if str(ap) in ("0", 0) or self.kinds.get(a) == "source":
-                succ[a] = b
+                succ.setdefault(a, []).append(b)
         node, self.stream_chain = self.source_name, []
         seen = set()
-        while node != self.rx_name:
-            if node not in succ or node in seen:
+        reached: List[str] = []
+        while True:
+            nxts = succ.get(node, [])
+            stream_nxts = [x for x in nxts if self.kinds.get(x) == "stream"]
+            rx_nxts = [x for x in nxts if self.kinds.get(x) == "receiver"]
+            bad = [x for x in nxts
+                   if self.kinds.get(x) not in ("stream", "receiver")]
+            if bad:
+                raise ValueError(f"block(s) {bad} cannot sit on the stream "
+                                 f"path")
+            if stream_nxts and (len(stream_nxts) > 1 or rx_nxts):
                 raise ValueError(
-                    f"no stream path from {self.source_name!r} to "
-                    f"{self.rx_name!r} in connections")
-            seen.add(node)
-            node = succ[node]
-            if node != self.rx_name:
-                if self.kinds.get(node) != "stream":
-                    raise ValueError(f"block {node!r} cannot sit on the "
-                                     f"stream path (kind={self.kinds.get(node)})")
+                    "stream fan-out is only supported after the last "
+                    "stream block (split to receivers, not mid-chain)")
+            if stream_nxts:
+                node = stream_nxts[0]
+                if node in seen:
+                    raise ValueError("stream path contains a cycle")
+                seen.add(node)
                 self.stream_chain.append(self.blocks[node])
+                continue
+            reached = rx_nxts
+            break
+        missing = sorted(set(receivers) - set(reached))
+        if not reached or missing:
+            raise ValueError(
+                f"no stream path from {self.source_name!r} to receiver(s) "
+                f"{missing or receivers} in connections")
 
-        # message path: receiver frames -> sinks
+        # message path: each receiver's frames -> its connected sinks
         self.collector = FrameCollectSink()
-        rx = self.blocks[self.rx_name]
-        rx.sinks = [self.collector]
-        for (a, ap, b, bp) in self.connections:
-            if a == self.rx_name:
-                if self.kinds.get(b) != "sink":
-                    raise ValueError(f"{b!r} is not a sink")
-                rx.sinks.append(self.blocks[b])
+        for rx_name in self.rx_names:
+            rx = self.blocks[rx_name]
+            rx.sinks = [self.collector]
+            for (a, ap, b, bp) in self.connections:
+                if a == rx_name:
+                    if self.kinds.get(b) != "sink":
+                        raise ValueError(f"{b!r} is not a sink")
+                    rx.sinks.append(self.blocks[b])
 
     # -- constructors --------------------------------------------------------
     @classmethod
@@ -776,26 +799,31 @@ class Flowgraph:
         if self.msg_source_name is not None:
             return self._run_msg_graph(max_frames, max_seconds)
         src = self.blocks[self.source_name]
-        rx = self.blocks[self.rx_name]
+        rxs = [self.blocks[n] for n in self.rx_names]
         throttles = [b for b in self.stream_chain if isinstance(b, Throttle)]
         t0 = time.monotonic()
         try:
             for chunk in src.chunks():
                 for th in throttles:
                     th.pace(len(chunk))
-                rx.push(chunk)
+                for rx in rxs:
+                    rx.push(chunk)
                 if max_frames is not None and len(self.collector.frames) >= max_frames:
                     break
                 if max_seconds is not None and time.monotonic() - t0 > max_seconds:
                     break
-            rx.flush()
+            for rx in rxs:
+                rx.flush()
         finally:
             src.close()
-            rx.close()
-            for s in rx.sinks:
-                close = getattr(s, "close", None)
-                if close:
-                    close()
+            closed = set()
+            for rx in rxs:
+                rx.close()
+                for s in rx.sinks:
+                    close = getattr(s, "close", None)
+                    if close and id(s) not in closed:
+                        closed.add(id(s))
+                        close()
         return self.collector.frames
 
     def _run_msg_graph(self, max_frames: Optional[int],

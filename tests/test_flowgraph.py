@@ -294,3 +294,67 @@ def test_message_only_graph():
     t.join()
     assert len(frames) == 3
     assert frames[0].payload == b"\xab\xcd\x01\x02"
+
+
+def test_flowgraph_multi_receiver_multi_sf(tmp_path):
+    """GRC lets one source fan out to several lora_receiver blocks — the
+    multi-SF monitoring topology. One capture carrying an SF7 and an SF8
+    packet; two receivers on the same stream each decode their own."""
+    c7 = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
+    c8 = LoRaConfig(sf=8, cr=4, samp_rate=250e3, crc=True)
+    sps8 = c8.samples_per_symbol
+    p7 = modulate_frame(c7, b"\x07\x07", pad_before=4096, snr_db=40.0)
+    p8 = modulate_frame(c8, b"\x08\x08", pad_before=4096, snr_db=40.0)
+    cap = np.concatenate([p7, np.zeros(2 * sps8, np.complex64), p8,
+                          np.zeros(48 * sps8, np.complex64)])
+    path = tmp_path / "cap.cf32"
+    cap.astype(np.complex64).tofile(path)
+
+    def rx_params(sf):
+        return {"samp_rate": 250e3, "center_freq": 868e6,
+                "channel_list": [868e6], "sf": sf, "cr": 4, "crc": True,
+                "block_symbols": 128}
+
+    fg = Flowgraph({
+        "blocks": [
+            {"name": "src", "id": "file_source",
+             "parameters": {"file": str(path), "chunk_samples": 16384}},
+            {"name": "rx7", "id": "lora_receiver", "parameters": rx_params(7)},
+            {"name": "rx8", "id": "lora_receiver", "parameters": rx_params(8)},
+            {"name": "out", "id": "frame_collect_sink"},
+        ],
+        "connections": [
+            ["src", "0", "rx7", "0"],
+            ["src", "0", "rx8", "0"],
+            ["rx7", "frames", "out", "in"],
+            ["rx8", "frames", "out", "in"],
+        ],
+    })
+    frames = fg.run()
+    assert sorted(f.mac_payload for f in frames) == [b"\x07\x07", b"\x08\x08"]
+
+
+def test_flowgraph_midchain_fanout_rejected(tmp_path):
+    path = tmp_path / "cap.cf32"
+    np.zeros(1024, np.complex64).tofile(path)
+    spec = {
+        "blocks": [
+            {"name": "src", "id": "file_source",
+             "parameters": {"file": str(path)}},
+            {"name": "thr", "id": "throttle",
+             "parameters": {"samp_rate": 250e3}},
+            {"name": "thr2", "id": "throttle",
+             "parameters": {"samp_rate": 250e3}},
+            {"name": "rx", "id": "lora_receiver",
+             "parameters": {"samp_rate": 250e3, "center_freq": 868e6,
+                            "channel_list": [868e6], "sf": 7}},
+        ],
+        "connections": [
+            ["src", "0", "thr", "0"],
+            ["src", "0", "thr2", "0"],
+            ["thr", "0", "rx", "0"],
+            ["thr2", "0", "rx", "0"],
+        ],
+    }
+    with pytest.raises(ValueError, match="fan-out"):
+        Flowgraph(spec)
