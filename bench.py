@@ -144,39 +144,46 @@ def main():
     # by that factor; the best round reflects the hardware's capability.
     iters = 10
 
-    def timed(arr):
+    def timed(arr, budget_s: float = 150.0):
+        # time-budgeted best-of-rounds: the shared tunnel occasionally
+        # stalls under sustained dispatch load — stop after the budget
+        # with whatever best round completed rather than hanging the run
         dt = float("inf")
+        t_start = time.perf_counter()
         for _ in range(5):
             t0 = time.perf_counter()
             for _ in range(iters):
                 res = rx.process(arr)
             np.asarray(res.valid)
             dt = min(dt, time.perf_counter() - t0)
+            if time.perf_counter() - t_start > budget_s:
+                break
         return n_channels * block_len * iters / dt / 1e6
 
     # bf16 IQ planes: the opt-in halved-bandwidth input format (same
     # pipeline, ~40 dB quantization floor — see ops/xfer.pack_iq). Run
     # FIRST so the headline f32 number prints last.
-    try:
-        import jax.numpy as jnp
+    if "--no-bf16" not in sys.argv:
+        try:
+            import jax.numpy as jnp
 
-        xb = jax.device_put(pack_iq(x, dtype=jnp.bfloat16))
-        resb = rx.process(xb)
-        nb_frames = int(np.asarray(resb.valid).sum())
-        if nb_frames >= expected * 0.9:
-            msps_b = timed(xb)
-            print(json.dumps({
-                "metric": "dense_rx_throughput_bf16",
-                "value": round(msps_b, 1),
-                "unit": "Msamples/s/chip",
-                "vs_baseline": round(msps_b / 1.0, 1),
-            }))
-        else:
-            print(f"WARNING: bf16 decoded {nb_frames}/{expected}",
-                  file=sys.stderr)
-        del xb
-    except Exception as e:
-        print(f"WARNING: bf16 bench failed: {e}", file=sys.stderr)
+            xb = jax.device_put(pack_iq(x, dtype=jnp.bfloat16))
+            resb = rx.process(xb)
+            nb_frames = int(np.asarray(resb.valid).sum())
+            if nb_frames >= expected * 0.9:
+                msps_b = timed(xb)
+                print(json.dumps({
+                    "metric": "dense_rx_throughput_bf16",
+                    "value": round(msps_b, 1),
+                    "unit": "Msamples/s/chip",
+                    "vs_baseline": round(msps_b / 1.0, 1),
+                }), flush=True)
+            else:
+                print(f"WARNING: bf16 decoded {nb_frames}/{expected}",
+                      file=sys.stderr)
+            del xb
+        except Exception as e:
+            print(f"WARNING: bf16 bench failed: {e}", file=sys.stderr)
 
     msps = timed(xd)
     print(
@@ -187,20 +194,35 @@ def main():
                 "unit": "Msamples/s/chip",
                 "vs_baseline": round(msps / 1.0, 1),
             }
-        )
+        ),
+        flush=True,
     )
+
+
+def _subprocess_stage(args, timeout_s: float) -> None:
+    """Run a secondary metric in a killable subprocess: a stalled remote
+    tunnel blocks inside native fetch calls that no in-process mechanism
+    can interrupt, and a secondary metric must never cost the headline."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, __file__] + args, timeout=timeout_s, check=False,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"WARNING: bench stage {args} timed out after {timeout_s:.0f}s",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
     if "--wideband" in sys.argv:
         sys.argv.remove("--wideband")
         main_wideband(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
+    elif "--dense-only" in sys.argv:
+        main()
     else:
-        # wideband (1024-channel PFB+decode) first, headline dense metric
-        # LAST so single-line consumers read the primary number; both
-        # lines are recorded in the driver's tail capture
-        try:
-            main_wideband(1024)
-        except Exception as e:  # never let the secondary metric mask main()
-            print(f"WARNING: wideband bench failed: {e}", file=sys.stderr)
+        # secondary metrics first (each in its own killable subprocess),
+        # headline dense metric LAST so single-line consumers read the
+        # primary number; all lines land in the driver's tail capture
+        _subprocess_stage(["--wideband"], 420.0)
         main()
