@@ -93,7 +93,8 @@ def main():
 
     # 64 channels/call amortises the ~1 ms per-dispatch cost of the remote
     # tunnel; production blocks are at least this large
-    n_channels = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_channels = int(pos[0]) if pos else 64
     block_symbols = 2048
     block_len = block_symbols * sps  # ~2.1 Msamples/channel
 
@@ -219,6 +220,7 @@ if __name__ == "__main__":
         sys.argv.remove("--wideband")
         main_wideband(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
     elif "--dense-only" in sys.argv:
+        sys.argv.remove("--dense-only")
         main()
     else:
         # secondary metrics first (each in its own killable subprocess),
