@@ -61,6 +61,8 @@ def load() -> Optional[ctypes.CDLL]:
         except OSError:
             return None
         u8p = ctypes.POINTER(ctypes.c_uint8)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        f32p = ctypes.POINTER(ctypes.c_float)
         sigs = {
             "lt_udp_sink_open": ([ctypes.c_char_p, ctypes.c_int], ctypes.c_void_p),
             "lt_udp_sink_send": ([ctypes.c_void_p, u8p, ctypes.c_long], ctypes.c_long),
@@ -82,11 +84,35 @@ def load() -> Optional[ctypes.CDLL]:
             "lt_ring_peek": ([ctypes.c_void_p, u8p, ctypes.c_long], ctypes.c_long),
             "lt_ring_advance": ([ctypes.c_void_p, ctypes.c_long], ctypes.c_long),
             "lt_ring_destroy": ([ctypes.c_void_p], None),
+            "lora_pack_iq_f32": (
+                [f32p, ctypes.c_size_t, f32p, f32p], None),
+            "lora_pack_iq_bf16": (
+                [f32p, ctypes.c_size_t, u16p, u16p], None),
         }
-        for name, (argtypes, restype) in sigs.items():
-            fn = getattr(lib, name)
-            fn.argtypes = argtypes
-            fn.restype = restype
+
+        def bind(lib_):
+            try:
+                for name, (argtypes, restype) in sigs.items():
+                    fn = getattr(lib_, name)
+                    fn.argtypes = argtypes
+                    fn.restype = restype
+                return True
+            except AttributeError:
+                return False  # stale library from an older source tree
+
+        if not bind(lib):
+            try:
+                os.remove(_LIB_PATH)
+            except OSError:
+                pass
+            if not _build():
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
+            if not bind(lib):
+                return None
         _lib = lib
         return _lib
 
@@ -212,3 +238,46 @@ class SampleRing:
         if self._h:
             self._lib.lt_ring_destroy(self._h)
             self._h = None
+
+
+def pack_iq_native(x: np.ndarray, dtype=np.float32):
+    """Native single-pass IQ packer: complex64 ``[..., L]`` -> planes
+    ``[..., 2, L]`` (float32 or bfloat16 bit patterns).
+
+    The host analogue of the reference's VOLK deinterleave kernels; one
+    fused pass instead of numpy's two strided copies + cast (see
+    native/pack.cpp). Returns None when the native library is
+    unavailable or the input isn't contiguous complex64 — callers fall
+    back to the numpy path (ops/xfer.pack_iq).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x)
+    if x.dtype != np.complex64:
+        return None
+    n = x.size
+    flat = x.reshape(-1, x.shape[-1])
+    L = x.shape[-1]
+    src = flat.view(np.float32)  # [rows, 2*L] interleaved
+    dt = np.dtype(dtype)
+    if dt.name not in ("float32", "bfloat16"):
+        return None
+    is_bf16 = dt.name == "bfloat16"
+    f32p = ctypes.POINTER(ctypes.c_float)
+    if is_bf16:
+        out = np.empty(flat.shape[:-1] + (2, L), np.uint16)
+        u16p = ctypes.POINTER(ctypes.c_uint16)
+        for r in range(flat.shape[0]):
+            lib.lora_pack_iq_bf16(
+                src[r].ctypes.data_as(f32p), L,
+                out[r, 0].ctypes.data_as(u16p),
+                out[r, 1].ctypes.data_as(u16p))
+        return out.reshape(x.shape[:-1] + (2, L)).view(dtype)
+    out = np.empty(flat.shape[:-1] + (2, L), np.float32)
+    for r in range(flat.shape[0]):
+        lib.lora_pack_iq_f32(
+            src[r].ctypes.data_as(f32p), L,
+            out[r, 0].ctypes.data_as(f32p),
+            out[r, 1].ctypes.data_as(f32p))
+    return out.reshape(x.shape[:-1] + (2, L))

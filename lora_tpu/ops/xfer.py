@@ -31,6 +31,12 @@ def pack_iq(x: np.ndarray, dtype=np.float32) -> np.ndarray:
     x = np.asarray(x)
     if not np.iscomplexobj(x):
         raise TypeError("pack_iq expects a complex array")
+    if x.dtype == np.complex64:
+        from ..native import pack_iq_native
+
+        out = pack_iq_native(x, dtype)
+        if out is not None:
+            return out
     return np.stack([x.real.astype(dtype), x.imag.astype(dtype)], axis=-2)
 
 
