@@ -171,6 +171,9 @@ def main():
             xb = jax.device_put(pack_iq(x, dtype=jnp.bfloat16))
             resb = rx.process(xb)
             nb_frames = int(np.asarray(resb.valid).sum())
+            if nb_frames < expected:
+                print(f"WARNING: bf16 decoded {nb_frames}/{expected} frames",
+                      file=sys.stderr)
             if nb_frames >= expected * 0.9:
                 msps_b = timed(xb)
                 print(json.dumps({
@@ -178,10 +181,8 @@ def main():
                     "value": round(msps_b, 1),
                     "unit": "Msamples/s/chip",
                     "vs_baseline": round(msps_b / 1.0, 1),
+                    "decode_ratio": round(nb_frames / expected, 3),
                 }), flush=True)
-            else:
-                print(f"WARNING: bf16 decoded {nb_frames}/{expected}",
-                      file=sys.stderr)
             del xb
         except Exception as e:
             print(f"WARNING: bf16 bench failed: {e}", file=sys.stderr)
@@ -218,7 +219,8 @@ def _subprocess_stage(args, timeout_s: float) -> None:
 if __name__ == "__main__":
     if "--wideband" in sys.argv:
         sys.argv.remove("--wideband")
-        main_wideband(int(sys.argv[1]) if len(sys.argv) > 1 else 1024)
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        main_wideband(int(pos[0]) if pos else 1024)
     elif "--dense-only" in sys.argv:
         sys.argv.remove("--dense-only")
         main()

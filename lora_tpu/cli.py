@@ -84,7 +84,7 @@ def cmd_gen_suite(args) -> int:
         args.out, args.suite,
         sfs=tuple(args.sfs), crs=tuple(args.crs),
         samp_rate=args.samp_rate, snr_db=args.snr, cfo_hz=args.cfo,
-        drift_ppm=args.drift_ppm,
+        drift_ppm=args.drift_ppm, sync_word=args.sync_word,
         seed=args.seed,
     )
     print(path)
@@ -187,6 +187,8 @@ def main(argv=None) -> int:
     g.add_argument("--cfo", type=float, default=0.0)
     g.add_argument("--drift-ppm", type=float, default=0.0,
                    help="tx sample-clock offset (auto 30 for *drift* suites)")
+    g.add_argument("--sync-word", type=lambda s: int(s, 0), default=0x00,
+                   help="radio sync word (auto 0x12 for *sync12* suites)")
     g.add_argument("--seed", type=int, default=0)
     g.set_defaults(fn=cmd_gen_suite)
 

@@ -56,15 +56,18 @@ class LoRaConfig:
     prlen: int = 8                # preamble length in symbols (tx / SigMF meta)
     conj: bool = False            # downlink: conjugate input first
     disable_drift_correction: bool = False
-    # Radio sync word (tx side; the rx state machine never demodulates it).
-    # Default 0 => sync symbols are plain upchirps. Non-zero sync words (e.g.
-    # 0x12 RN2483 / 0x34 LoRaWAN) produce shifted sync upchirps which the
-    # reference algorithm's FIND_SFD drift-correction branch
-    # (lib/decoder_impl.cc:801-803) mis-chases at SF>=11: the sync window's
-    # downchirp correlation stays < -0.97 (the shift disrupts only 8/2^sf of
-    # the symbol) and fine_sync drags alignment by up to search_space-1
-    # samples — enough to corrupt every payload bin. SF<=10 is unaffected
-    # (correlation lands in the corr_fails dead zone instead).
+    # Radio sync word. Default 0 => sync symbols are plain upchirps.
+    # Non-zero sync words (0x12 RN2483 / 0x34 LoRaWAN) produce shifted
+    # sync upchirps; the receivers recognise them in FIND_SFD by their
+    # demodulated shift relative to the preamble (CFO-proof) and hold
+    # alignment through them — the reference algorithm instead mis-chases
+    # them at SF>=11 (its still-upchirp resync branch,
+    # lib/decoder_impl.cc:801-803, fine-syncs a shifted sync symbol
+    # against the unshifted upchirp, corrupting every payload bin) and
+    # burns correlation-fail budget on them at SF<=10. The recognition is
+    # shift-agnostic, so the rx decodes any sync word without being
+    # configured for it; this field drives the tx modulator and is
+    # recorded in SigMF metadata / LoRaTap headers.
     sync_word: int = 0x00
 
     def __post_init__(self):

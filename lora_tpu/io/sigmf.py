@@ -50,6 +50,7 @@ class SigMFTrace:
             conj=bool(cap.get("lora:conj", False)),
             reduced_rate=sf > 10,
             prlen=int(cap.get("lora:prlen", 8)),
+            sync_word=int(cap.get("lora:sync_word", 0)),
         )
 
     @property
@@ -119,6 +120,7 @@ def write_trace(
                 "lora:crc": config.crc,
                 "lora:implicit": config.implicit,
                 "lora:conj": config.conj,
+                "lora:sync_word": config.sync_word,
             }
         )
     if expected is not None:

@@ -337,25 +337,31 @@ def max_frequency_gradient_idx(window, n_bins: int, decim: int, xp=np):
     ``(N - max_index) % N`` with ``max_index = 0`` when no gradient exceeds
     the threshold.
 
-    Deliberate robustness deviation: the final phase-diff sample (and its
-    duplicate, see :func:`instantaneous_frequency`) is excluded from the
-    LAST bin's average. On an *exactly* symbol-aligned window the channel
-    filter's transition into the next symbol contaminates that one diff
-    with a pi-wrap glitch, whose last-bin gradient can exceed the true
-    in-window wrap (observed at SF11: spurious 0.97 vs true 0.62),
-    misreading the symbol as bin 0. Every true wrap sits at or left of the
-    last bin's left boundary (``wrap = sps - s*decim <= (N-1)*decim``), so
-    trimming the bin's tail never hides a genuine jump — in particular
-    bin-0 symbols (wrap exactly at that boundary) still read 0 through the
-    last gradient. The reference averages all samples but its sliding-xcorr
-    sync lands a sample early in practice, masking the edge. No trim at
-    ``decim <= 2`` (the last bin would be empty; auto engine selection
-    avoids the gradient method below decim 4 anyway).
+    Deliberate robustness deviation: the final ``decim//2`` phase-diff
+    samples (and the duplicate, see :func:`instantaneous_frequency`) are
+    excluded from the LAST bin's average. On a symbol-aligned-or-late
+    window the channel filter's transition into the next symbol
+    contaminates the tail diffs with a pi-wrap glitch, whose last-bin
+    gradient can exceed the true in-window wrap (observed at SF11:
+    spurious 0.97 vs true 0.62), misreading the symbol as bin 0. Every
+    true wrap sits at or left of the last bin's left boundary
+    (``wrap = sps - s*decim <= (N-1)*decim``), so trimming the bin's tail
+    never hides a genuine jump — in particular bin-0 symbols (wrap exactly
+    at that boundary) still read 0 through the last gradient. The
+    reference averages all samples but its sliding-xcorr sync lands a
+    sample early in practice, masking the edge. The half-bin trim width
+    matches the demod's intrinsic alignment tolerance: a window late by
+    ``d <= decim/2`` samples (the steady state when tracking a fast
+    transmitter clock at crystal-tolerance drift, where the blind
+    2.25-symbol SFD consume accumulates ~2-3 samples at SF12/30 ppm)
+    keeps its glitch inside the trimmed region instead of poisoning the
+    argmax. No trim at ``decim <= 2`` (the last bin would be empty; auto
+    engine selection avoids the gradient method below decim 4 anyway).
     """
     ifr = instantaneous_frequency(window, xp=xp)
     use = ifr[..., : n_bins * decim].reshape(ifr.shape[:-1] + (n_bins, decim))
     sums = use.sum(axis=-1)
-    trim = 2 if decim > 2 else 0
+    trim = max(decim // 2, 2) if decim > 2 else 0
     if trim:
         tail = use[..., -1, decim - trim :].sum(axis=-1)
         last = (sums[..., -1] - tail) / (decim - trim)
@@ -413,6 +419,24 @@ def dechirp_fft_mag(windows, downchirp, n_bins: int, sps: int, xp=np):
     else:
         folded = folded.at[..., n_bins // 2].add(f[..., n_bins // 2])
     return xp.abs(folded)
+
+
+def fine_sync_search_space(decim: int) -> int:
+    """Per-symbol drift-search budget for :func:`fine_sync_lag`.
+
+    Reference parity: ``max(decim/4, 2)`` (lib/decoder_impl.cc:502), lags
+    up to ±1 at the canonical decimation 8. Wider searches were measured
+    to HURT: over a 255-byte packet (~600 symbols) a ±4 search eventually
+    wins a wrong large lag (the late-by-``decim``/bin+1 ambiguity — a
+    window late by one full bin demodulates as the next bin with equal
+    correlation), corrupting full-rate payloads even at 40 dB SNR. The
+    drift catch-up problem this was meant to solve lives in the blind
+    2.25-symbol SFD handoff instead, fixed by the drift-rate feed-forward
+    (see GoldenReceiver PAUSE); with that in place, per-symbol slip at
+    crystal-tolerance clock offsets is < 1 sample and ±1 tracking is
+    sufficient and stable.
+    """
+    return max(decim // 4, 2)
 
 
 def fine_sync_lag(window, bin_idx, upchirp_ifreq_tiled, sps: int, decim: int,

@@ -191,6 +191,10 @@ def detection_metrics_pallas(xf, sps: int, interpret: bool = False,
 
     C = int(np.prod(lead)) if lead else 1
     xb = xf[..., : K1r * sps].reshape(C, 2, K1r, sps)
+    if variant == "tile" and xb.dtype == jnp.bfloat16:
+        # the tile kernel was written for f32 blocks (8-row next-tile
+        # blocks, no accumulation cast); only the pp variant handles bf16
+        xb = xb.astype(jnp.float32)
     call = _det_call_pp if variant == "pp" else _det_call
     corr_b, ener_b = call(xb, T, interpret)  # valid: corr [:K1r-1], ener [:K1r]
     if K1r == K1:

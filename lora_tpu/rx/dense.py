@@ -172,7 +172,7 @@ class DenseReceiver:
             return b, jnp.int32(0)
         fine = demod.fine_sync_lag(
             window, b, self._up_ifreq_v, self.sps, self.decim,
-            max(self.decim // 4, 2), xp=jnp,
+            demod.fine_sync_search_space(self.decim), xp=jnp,
         )
         return b, fine
 
@@ -212,26 +212,57 @@ class DenseReceiver:
 
         # --- FIND_SFD walk (reference :785-818) ---
         def sfd_step(carry, k):
-            p, fails, found, p_found = carry
+            p, fails, found, p_found, d_num, d_den, ref, srun, streak = carry
             w = win(p, sps)
             c = demod.downchirp_pearson(w, self._down_ifreq, sps, xp=jnp)
             hit = (c > 0.96) & (~found)
-            is_up = c < -0.97
+            # sync-word recognition (see GoldenReceiver FIND_SFD): a run
+            # of <= 2 upchirps clearly shifted vs the anchored preamble
+            # bin, after >= 2 stable preamble reads, is the sync word —
+            # hold alignment, spend no fail budget
+            b = demod.max_frequency_gradient_idx(w, self.n_bins, self.decim, xp=jnp)
+            first = ref < 0
+            ref = jnp.where(first, b, ref)
+            streak = jnp.where(first, 1, streak)
+            rel = (b - ref) % self.n_bins
+            dist = jnp.minimum(rel, self.n_bins - rel)
+            is_syncw = ((~found) & (~hit) & (dist > 3) & (srun < 2)
+                        & (streak >= 2))
+            is_up = (c < -0.97) & ~is_syncw
+            re_anchor = is_up & (~found) & (~hit) & (dist > 3)
+            ref = jnp.where(re_anchor, b, ref)
+            streak = jnp.where(
+                is_up & (~found) & (~hit),
+                jnp.where(dist <= 3, streak + 1, 1),
+                streak,
+            ).astype(jnp.int32)
             fine = jnp.where(
                 is_up & (~found) & (~hit),
                 demod.fine_sync_lag(w, jnp.int32(-1), self._up_ifreq_v,
                                     sps, self.decim, self.decim * 4, xp=jnp),
                 0,
             )
-            fails = jnp.where(found | hit | is_up, fails, fails + 1)
+            # sample-clock drift estimate from the per-upchirp corrections
+            # (large lags are resyncs, not drift); fed forward across the
+            # blind 2.25-symbol SFD consume below
+            track = is_up & (~found) & (~hit) & (jnp.abs(fine) <= self.decim // 2)
+            d_num = d_num + jnp.where(track, fine, 0).astype(jnp.float32)
+            d_den = d_den + jnp.where(track, 1, 0)
+            fails = jnp.where(found | hit | is_up | is_syncw, fails, fails + 1)
+            # total per-walk budget, not a resettable run (see
+            # GoldenReceiver FIND_SFD note)
+            srun = jnp.where(is_syncw, srun + 1, srun).astype(jnp.int32)
             p_found = jnp.where(hit, p, p_found)
             found = found | hit
             p_new = jnp.where(found, p, p + sps + fine)
             ys = (c, p) if collect else None
-            return (p_new, fails, found, p_found), ys
+            return (p_new, fails, found, p_found, d_num, d_den, ref, srun,
+                    streak), ys
 
-        init = (i0.astype(jnp.int32), jnp.int32(0), jnp.bool_(False), jnp.int32(0))
-        (p, fails, found, p_found), sfd_ys = jax.lax.scan(
+        init = (i0.astype(jnp.int32), jnp.int32(0), jnp.bool_(False),
+                jnp.int32(0), jnp.float32(0.0), jnp.int32(0),
+                jnp.int32(-1), jnp.int32(0), jnp.int32(0))
+        (p, fails, found, p_found, d_num, d_den, _, _, _), sfd_ys = jax.lax.scan(
             sfd_step, init, jnp.arange(self.F)
         )
         sfd_ok = found & (fails <= 4)
@@ -246,12 +277,18 @@ class DenseReceiver:
         )
         cfo = demod.combine_cfo(coarse, frac_cfo, sps, cfg.samp_rate, xp=jnp)
         # data starts 2.25 symbols after SFD start (FIND_SFD consume +
-        # PAUSE consume, reference :816,:822)
-        p_data = p_found + sps + sps + cfg.delay_after_sync
+        # PAUSE consume, reference :816,:822), advanced by the measured
+        # drift rate (see GoldenReceiver PAUSE / short_sim_drift)
+        rate = d_num / jnp.maximum(d_den, 1)
+        p_data = (p_found + sps + sps + cfg.delay_after_sync
+                  + jnp.round(2.25 * rate).astype(jnp.int32))
 
         # --- demod scan: 8 header symbols + S payload symbols ---
+        # open-loop drift advance (see GoldenReceiver._drift_step): the
+        # measured clock-offset slip is applied per symbol so fine_sync
+        # only carries the residual
         def dm_step(carry, k):
-            p = carry
+            p, acc = carry
             w = win(p, sps)
             is_hdr = k < 8
             b_full, fine = self._demod_symbol(w)
@@ -259,17 +296,24 @@ class DenseReceiver:
             b_red = jnp.floor(b_full / 4.0 + 0.5).astype(jnp.int32) % cfg.number_of_bins_hdr
             b = jnp.where(reduced, b_red, b_full)
             word = b ^ (b >> 1)
+            acc = acc + rate
+            dstep = jnp.round(acc).astype(jnp.int32)
+            acc = acc - dstep
+            if cfg.disable_drift_correction:
+                dstep = jnp.int32(0)
+            p_next = p + sps + fine + dstep
             if collect:
                 # the gradient demod's internal view: bin-averaged ifreq
                 ifr = instantaneous_frequency(w, xp=jnp)
                 avg = ifr[: self.n_bins * self.decim].reshape(
                     self.n_bins, self.decim
                 ).sum(axis=-1) / self.decim
-                return p + sps + fine, (word, b_full, fine, p, avg)
-            return p + sps + fine, word
+                return (p_next, acc), (word, b_full, fine, p, avg)
+            return (p_next, acc), word
 
         _, dm_ys = jax.lax.scan(
-            dm_step, p_data.astype(jnp.int32), jnp.arange(8 + self.S)
+            dm_step, (p_data.astype(jnp.int32), jnp.float32(0.0)),
+            jnp.arange(8 + self.S),
         )  # [8+S]
         words = dm_ys[0] if collect else dm_ys
         out = self._finish_decode(words, sfd_ok) + (cfo,)
@@ -341,9 +385,23 @@ class DenseReceiver:
         found = hit.any()
         first = jnp.argmax(hit).astype(jnp.int32)  # first hit index
         # fail accounting as in the walk (reference :805-813): a pre-SFD
-        # window that is neither SFD nor still-upchirp counts as a miss
+        # window that is neither SFD nor still-upchirp counts as a miss —
+        # except recognised sync-word symbols (<= 2 upchirps clearly
+        # shifted vs the first window; see GoldenReceiver FIND_SFD), which
+        # spend no fail budget. The static grid needs no alignment hold
+        # (there is no drift chase to poison), only the fail arithmetic.
+        if self._fold_mat is not None:
+            sbins = demod.fft_shift_idx_mm(sfd_wins, self._fold_mat, xp=jnp)
+        else:
+            sbins = jax.vmap(
+                lambda w: demod.fft_shift_idx(w, self._down, self.n_bins, sps, xp=jnp)
+            )(sfd_wins)
+        rel = (sbins - sbins[0]) % self.n_bins
+        dist = jnp.minimum(rel, self.n_bins - rel)
+        sync_like = dist > 3
+        recognised = sync_like & (jnp.cumsum(sync_like) <= 2)
         before = jnp.arange(self.F) < first
-        fails = jnp.sum(before & ~(cs < -0.97) & ~hit)
+        fails = jnp.sum(before & ~(cs < -0.97) & ~hit & ~recognised)
         sfd_ok = found & (fails <= 4)
         p_found = i0 + first * sps
         # full-range CFO (see the gradient path / demod.sfd_coarse_cfo)

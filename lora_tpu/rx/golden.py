@@ -50,6 +50,9 @@ class DebugTrace:
     fine_syncs: List[int] = field(default_factory=list)
     detect_corrs: List[float] = field(default_factory=list)
     sfd_corrs: List[float] = field(default_factory=list)
+    # per-FIND_SFD-window tap: (pos, corr, bin, dist, decision) with
+    # decision in {"sfd", "sync", "up", "fail"}
+    sfd_walk: List[tuple] = field(default_factory=list)
 
 
 class GoldenReceiver:
@@ -83,12 +86,37 @@ class GoldenReceiver:
         self.energy_threshold = 0.0
         self.fine_sync = 0
         self.corr_fails = 0
+        # Running mean of per-symbol fine-sync corrections during the
+        # FIND_SFD walk — the sample-clock drift rate, fed forward across
+        # the blind 2.25-symbol SFD consume (see PAUSE) and per data
+        # symbol via the fractional accumulator (see DECODE_* states):
+        # the predictable clock-offset slip is applied open-loop, so the
+        # ±1-sample fine_sync feedback only carries the residual. This
+        # extends tracking past the reference's ~1 sample/symbol ceiling
+        # (SF12 @ 50 ppm slips 1.6 samples/symbol).
+        self.drift_num = 0.0
+        self.drift_den = 0
+        self.drift_acc = 0.0
+        # FIND_SFD sync-word recognition state (see run() FIND_SFD branch)
+        self.sync_ref_bin = -1
+        self.sync_run = 0
+        self.sync_streak = 0
         self.snr = 0.0
         self.pwr_queue: List[float] = []
         # d_phdr initialised from constructor args (reference :72-73)
         self.phdr = PhyHeader(cr=cfg.cr, has_mac_crc=1 if cfg.crc else 0)
 
     # ---- reference helper mirrors ---------------------------------------
+
+    def _drift_step(self) -> int:
+        """Integer window advance owed to the open-loop drift rate this
+        symbol (fractional remainder carries in ``drift_acc``)."""
+        if self.cfg.disable_drift_correction:
+            return 0
+        self.drift_acc += self.drift_num / max(self.drift_den, 1)
+        step = int(round(self.drift_acc))
+        self.drift_acc -= step
+        return step
 
     def _demodulate(self, window: np.ndarray, is_first: bool) -> bool:
         """reference demodulate() :493-529."""
@@ -99,7 +127,8 @@ class GoldenReceiver:
             self.fine_sync = int(
                 demod.fine_sync_lag(
                     window, np.int64(bin_idx), self.upchirp_ifreq_v,
-                    self.sps, self.decim, max(self.decim // 4, 2),
+                    self.sps, self.decim,
+                    demod.fine_sync_search_space(self.decim),
                 )
             )
         if reduced:
@@ -197,7 +226,27 @@ class GoldenReceiver:
                             if self.pwr_queue[0] != 0.0 else float("inf")
                         )
                     self.corr_fails = 0
+                    self.drift_num = 0.0
+                    self.drift_den = 0
+                    self.drift_acc = 0.0
+                    self.sync_ref_bin = -1
+                    self.sync_run = 0
+                    self.sync_streak = 0
                     self.state = DecoderState.SYNC
+                    # Sync one window past the detection edge (same rule
+                    # as the dense engine, rx/dense.py process_complex):
+                    # the edge window may start before the preamble, and
+                    # leading silence/filter transient skews the sliding
+                    # sync xcorr by hundreds of samples at SF>=11 — a
+                    # misalignment the filtered ifreq Pearson then sits in
+                    # the dead zone for (c ~ -0.968 > -0.97), never
+                    # resyncing. One window later is fully inside the
+                    # >=8-symbol preamble; the SFD walk budget absorbs the
+                    # extra symbol. The reference instead relies on
+                    # walk-abort/re-detect cycles, which starve when the
+                    # remaining preamble is the two differently-shifted
+                    # sync symbols (low autocorr).
+                    p += sps
                 else:
                     p += sps
 
@@ -213,22 +262,85 @@ class GoldenReceiver:
                 if c > 0.96:
                     self.state = DecoderState.PAUSE
                 else:
-                    if c < -0.97:
+                    # Sync-word recognition (beyond the reference): the two
+                    # sync symbols are upchirps shifted by sync-nibble*8
+                    # bins. At SF>=11 the shift disturbs so little of the
+                    # symbol that the downchirp correlation stays < -0.97
+                    # and the reference's still-upchirp resync branch
+                    # (lib/decoder_impl.cc:801-803) fine-syncs against the
+                    # UNSHIFTED upchirp, dragging alignment by up to
+                    # 4*decim-1 samples — corrupting every payload bin.
+                    # A run of <= 2 upchirps clearly shifted relative to
+                    # the stable preamble bin is the sync word: hold
+                    # alignment and spend no correlation-fail budget.
+                    # The relative distance is CFO-proof (CFO shifts every
+                    # bin equally). A MISALIGNED plain upchirp also reads
+                    # a shifted bin, so recognition additionally requires
+                    # >= 2 consecutive stable preamble reads
+                    # (``sync_streak``) — a wandering walk (e.g. the
+                    # channel filter's edge transient skewing SYNC) keeps
+                    # resyncing instead, re-anchoring the reference bin
+                    # each time. Plain-preamble traces (sync 0x00) read
+                    # dist 0 throughout and are unaffected.
+                    b = int(demod.max_frequency_gradient_idx(
+                        window[:sps], self.n_bins, self.decim))
+                    if self.sync_ref_bin < 0:
+                        self.sync_ref_bin = b
+                        self.sync_streak = 1
+                    rel = (b - self.sync_ref_bin) % self.n_bins
+                    dist = min(rel, self.n_bins - rel)
+                    # NOTE sync_run is a TOTAL per-walk budget, not a
+                    # resettable run: a constantly-misaligned periodic
+                    # preamble reads a consistent shifted bin too, and a
+                    # resettable budget would recognise it indefinitely,
+                    # starving the corr_fails -> DETECT retry that rescues
+                    # badly-synced candidates (seen with the channel
+                    # filter's edge transient skewing SYNC on implicit
+                    # traces). Capped at 2 the walk loses at most 2
+                    # windows to misrecognition.
+                    recognised = (dist > 3 and self.sync_run < 2
+                                  and self.sync_streak >= 2)
+                    if recognised:
+                        self.sync_run += 1
+                    elif c < -0.97:
+                        if dist <= 3:
+                            self.sync_streak += 1
+                        else:  # re-anchor: walk not aligned to ref yet
+                            self.sync_ref_bin = b
+                            self.sync_streak = 1
                         self.fine_sync = int(
                             demod.fine_sync_lag(
                                 window[:sps], np.int64(-1), self.upchirp_ifreq_v,
                                 sps, self.decim, self.decim * 4,
                             )
                         )
+                        # sample-clock drift estimate from the per-upchirp
+                        # corrections (large lags are resyncs, not drift)
+                        if abs(self.fine_sync) <= self.decim // 2:
+                            self.drift_num += self.fine_sync
+                            self.drift_den += 1
                     else:
                         self.corr_fails += 1
+                    if self.debug is not None:
+                        dec = ("sync" if recognised
+                               else "up" if c < -0.97 else "fail")
+                        self.debug.sfd_walk.append((p, c, b, dist, dec))
                     if self.corr_fails > 4:
                         self.state = DecoderState.DETECT
                 p += sps + self.fine_sync
 
             elif self.state is DecoderState.PAUSE:
                 self.state = DecoderState.DECODE_HEADER
-                p += sps + cfg.delay_after_sync
+                # Feed the measured drift rate forward across the blind
+                # 2.25-symbol SFD region (this consume + the FIND_SFD found
+                # branch): at SF12 / 30 ppm the symbol grid slips ~1 sample
+                # per symbol, and handing the first header symbol over >3
+                # samples late puts the demod's tail glitch past the trim
+                # (see ops/demod.max_frequency_gradient_idx). The reference
+                # consumes blind here (lib/decoder_impl.cc:820-822) and
+                # loses SF11/12 at crystal-tolerance drift.
+                rate = self.drift_num / max(self.drift_den, 1)
+                p += sps + cfg.delay_after_sync + round(2.25 * rate)
 
             elif self.state is DecoderState.DECODE_HEADER:
                 if self._demodulate(window[:sps], True):
@@ -259,7 +371,7 @@ class GoldenReceiver:
                             cfg.sf, self.phdr.cr, cfg.reduced_rate, self.payload_length
                         )
                     self.state = DecoderState.DECODE_PAYLOAD
-                p += sps + self.fine_sync
+                p += sps + self.fine_sync + self._drift_step()
 
             elif self.state is DecoderState.DECODE_PAYLOAD:
                 if cfg.implicit and float(demod.symbol_energy(window[:sps])) < self.energy_threshold:
@@ -282,7 +394,7 @@ class GoldenReceiver:
                     self.decoded = np.zeros(0, dtype=np.uint8)
                     self.words.clear()
                     self.demodulated = []
-                p += sps + self.fine_sync
+                p += sps + self.fine_sync + self._drift_step()
 
             else:  # STOP
                 p += sps

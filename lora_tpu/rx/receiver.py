@@ -62,6 +62,12 @@ class RxState(NamedTuple):
     payload_length: jnp.ndarray    # int32
     energy_thresh: jnp.ndarray     # f32
     corr_fails: jnp.ndarray        # int32
+    drift_num: jnp.ndarray         # f32 sum of FIND_SFD fine corrections
+    drift_den: jnp.ndarray         # int32 windows contributing to drift_num
+    drift_acc: jnp.ndarray         # f32 fractional open-loop drift accumulator
+    sync_ref_bin: jnp.ndarray      # int32 anchored preamble bin (-1 unset)
+    sync_run: jnp.ndarray          # int32 run length of recognised sync symbols
+    sync_streak: jnp.ndarray       # int32 consecutive stable preamble reads
     snr: jnp.ndarray               # f32
     pwr_queue: jnp.ndarray         # f32[4]
     pwr_len: jnp.ndarray           # int32
@@ -125,6 +131,9 @@ class JaxReceiver:
             ),
             payload_symbols=z, payload_length=z,
             energy_thresh=jnp.float32(0.0), corr_fails=z,
+            drift_num=jnp.float32(0.0), drift_den=z,
+            drift_acc=jnp.float32(0.0),
+            sync_ref_bin=jnp.int32(-1), sync_run=z, sync_streak=z,
             snr=jnp.float32(0.0), pwr_queue=jnp.zeros(4, jnp.float32), pwr_len=z,
             n_frames=z, n_total=z,
             out_payload=jnp.zeros((mf, MAX_PAYLOAD), jnp.uint8),
@@ -228,7 +237,7 @@ class JaxReceiver:
         if not cfg.disable_drift_correction:
             fine = demod.fine_sync_lag(
                 window, bin_idx, self._up_ifreq_v, self.sps, self.decim,
-                max(self.decim // 4, 2), xp=jnp,
+                demod.fine_sync_search_space(self.decim), xp=jnp,
             )
         else:
             fine = jnp.int32(0)
@@ -301,8 +310,16 @@ class JaxReceiver:
                     pwr_queue=queue, pwr_len=pwr_len,
                     snr=snr,
                     corr_fails=jnp.where(hit, 0, st.corr_fails),
+                    drift_num=jnp.where(hit, 0.0, st.drift_num).astype(jnp.float32),
+                    drift_den=jnp.where(hit, 0, st.drift_den).astype(jnp.int32),
+                    drift_acc=jnp.where(hit, 0.0, st.drift_acc).astype(jnp.float32),
+                    sync_ref_bin=jnp.where(hit, -1, st.sync_ref_bin).astype(jnp.int32),
+                    sync_run=jnp.where(hit, 0, st.sync_run).astype(jnp.int32),
+                    sync_streak=jnp.where(hit, 0, st.sync_streak).astype(jnp.int32),
                     state=jnp.where(hit, SYNC, DETECT).astype(jnp.int32),
-                    p=jnp.where(hit, st.p, st.p + sps),
+                    # on hit: sync one window past the detection edge
+                    # (see GoldenReceiver DETECT; dense-engine rule)
+                    p=st.p + sps,
                 )
 
             def sync(st, w2):
@@ -312,7 +329,27 @@ class JaxReceiver:
             def find_sfd(st, w2):
                 c = demod.downchirp_pearson(w2[:sps], self._down_ifreq, sps, xp=jnp)
                 found = c > 0.96
-                is_up = c < -0.97
+                # sync-word recognition (see GoldenReceiver FIND_SFD): a
+                # run of <= 2 upchirps clearly shifted vs the anchored
+                # preamble bin, after >= 2 stable preamble reads, is the
+                # sync word — hold alignment, no fail spent
+                b = demod.max_frequency_gradient_idx(
+                    w2[:sps], self.n_bins, self.decim, xp=jnp)
+                first = st.sync_ref_bin < 0
+                ref = jnp.where(first, b, st.sync_ref_bin)
+                streak0 = jnp.where(first, 1, st.sync_streak)
+                rel = (b - ref) % self.n_bins
+                dist = jnp.minimum(rel, self.n_bins - rel)
+                is_syncw = ((~found) & (dist > 3) & (st.sync_run < 2)
+                            & (streak0 >= 2))
+                is_up = (c < -0.97) & ~is_syncw
+                re_anchor = is_up & (dist > 3)
+                ref = jnp.where(re_anchor, b, ref)
+                streak = jnp.where(
+                    is_up,
+                    jnp.where(dist <= 3, streak0 + 1, 1),
+                    streak0,
+                )
                 fine = jnp.where(
                     is_up,
                     demod.fine_sync_lag(
@@ -321,20 +358,47 @@ class JaxReceiver:
                     ),
                     jnp.int32(0),
                 )
-                corr_fails = jnp.where(found | is_up, st.corr_fails, st.corr_fails + 1)
+                corr_fails = jnp.where(
+                    found | is_up | is_syncw, st.corr_fails, st.corr_fails + 1
+                )
                 state = jnp.where(
                     found, PAUSE, jnp.where(corr_fails > 4, DETECT, FIND_SFD)
                 ).astype(jnp.int32)
                 fine = jnp.where(found, 0, fine)
+                # sample-clock drift estimate from the per-upchirp
+                # corrections (large lags are resyncs, not drift); fed
+                # forward across the blind SFD consume in pause()
+                track = is_up & ~found & (jnp.abs(fine) <= self.decim // 2)
                 return st._replace(
-                    corr_fails=corr_fails, state=state, p=st.p + sps + fine
+                    corr_fails=corr_fails, state=state, p=st.p + sps + fine,
+                    drift_num=st.drift_num + jnp.where(track, fine, 0).astype(jnp.float32),
+                    drift_den=st.drift_den + jnp.where(track, 1, 0),
+                    sync_ref_bin=ref.astype(jnp.int32),
+                    # total per-walk budget, not a resettable run (see
+                    # GoldenReceiver FIND_SFD note)
+                    sync_run=jnp.where(is_syncw, st.sync_run + 1,
+                                       st.sync_run).astype(jnp.int32),
+                    sync_streak=streak.astype(jnp.int32),
                 )
 
             def pause(st, w2):
+                # drift-rate feed-forward across the blind 2.25-symbol SFD
+                # region (see GoldenReceiver PAUSE / short_sim_drift)
+                rate = st.drift_num / jnp.maximum(st.drift_den, 1)
+                corr = jnp.round(2.25 * rate).astype(jnp.int32)
                 return st._replace(
                     state=jnp.int32(DECODE_HEADER),
-                    p=st.p + sps + cfg.delay_after_sync,
+                    p=st.p + sps + cfg.delay_after_sync + corr,
                 )
+
+            def drift_step(st):
+                # open-loop clock-drift advance (GoldenReceiver._drift_step)
+                rate = st.drift_num / jnp.maximum(st.drift_den, 1)
+                acc = st.drift_acc + rate
+                step = jnp.round(acc).astype(jnp.int32)
+                if cfg.disable_drift_correction:
+                    step = jnp.int32(0)
+                return (acc - step.astype(jnp.float32)).astype(jnp.float32), step
 
             def decode_header(st, w2):
                 st2, fine, done = self._demodulate(st, w2[:sps], is_first=True)
@@ -345,9 +409,11 @@ class JaxReceiver:
                 st4 = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(done, a, b), st3, st2
                 )
+                acc, dstep = drift_step(st)
                 return st4._replace(
                     state=jnp.where(done, DECODE_PAYLOAD, DECODE_HEADER).astype(jnp.int32),
-                    p=st.p + sps + fine,
+                    p=st.p + sps + fine + dstep,
+                    drift_acc=acc,
                 )
 
             def decode_payload(st, w2):
@@ -384,9 +450,11 @@ class JaxReceiver:
                 st3 = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(finish, a, b), st_reset, st2
                 )
+                acc, dstep = drift_step(st)
                 return st3._replace(
                     state=jnp.where(finish, DETECT, DECODE_PAYLOAD).astype(jnp.int32),
-                    p=st.p + sps + fine,
+                    p=st.p + sps + fine + dstep,
+                    drift_acc=acc,
                 )
 
             def stop(st, w2):

@@ -105,6 +105,36 @@ class TestSummary:
 SHORT_PAYLOADS = [("deadbeef", 5), ("88", 1), ("ffff", 10)]
 
 
+def apply_sdr_impairments(stream: np.ndarray, rng: np.random.Generator,
+                          iq_imbalance_db: float = 35.0,
+                          dc_offset: float = 0.01,
+                          quantize_bits: int = 8,
+                          full_scale: float = 4.0) -> np.ndarray:
+    """Receiver-chain impairments of a cheap SDR front-end (rtl-sdr class).
+
+    The reference's OTA fixtures were recorded with USRP/HackRF/RTL-SDR
+    hardware whose captures carry, beyond CFO and clock drift, the
+    front-end's IQ imbalance (finite image rejection: ``y = x + beta *
+    conj(x)`` with ``|beta|`` at -``iq_imbalance_db``), a DC spike
+    (zero-IF leakage, ``dc_offset`` relative to unit amplitude) and — for
+    the RTL-SDR — 8-bit IQ quantization (cu8 format). Applying them to
+    hermetic traces exercises the same signal degradations those captures
+    would (reference ``apps/generate_test_suites.py`` hw list;
+    ``docs/test-results/short_rtl-sdr.md``).
+    """
+    beta_mag = 10.0 ** (-iq_imbalance_db / 20.0)
+    beta = beta_mag * np.exp(2j * np.pi * rng.uniform())
+    y = stream + beta * np.conj(stream)
+    y = y + dc_offset * np.exp(2j * np.pi * rng.uniform())
+    if quantize_bits:
+        # cu8-style midrise quantization over +-full_scale (headroom for
+        # noise peaks; rtl-sdr AGC keeps signals well inside full scale)
+        levels = float(1 << (quantize_bits - 1))
+        scale = full_scale / levels
+        y = (np.round(y.real / scale) + 1j * np.round(y.imag / scale)) * scale
+    return y.astype(np.complex64)
+
+
 def implicit_expected_hex(cfg: LoRaConfig, payload: bytes) -> str:
     """Decoded payload for an implicit-header (crc-less) frame: the
     transmitted bytes zero-padded to the interleave-block budget (the
@@ -128,6 +158,7 @@ def generate_suite(
     cfo_hz: float = 0.0,
     seed: int = 0,
     drift_ppm: float = 0.0,
+    sync_word: int = 0x00,
 ) -> str:
     """Create a hermetic SigMF suite under ``out_dir/suite``.
 
@@ -144,6 +175,18 @@ def generate_suite(
     impairment the reference's per-symbol fine-sync loop exists to track
     (lib/decoder_impl.cc:300-338): the receiver's symbol grid slides ~
     ``sps * ppm * 1e-6`` samples per symbol against the transmitter's.
+    ``*sync12*`` -> frames carry the RN2483 sync word 0x12, as every one
+    of the reference's OTA fixtures does (apps/generate_test_suites.py
+    drives an RN2483).
+    ``*sdr*`` -> full real-capture emulation: sync word 0x12, a per-trace
+    transmitter crystal offset of up to ±10 ppm applied COHERENTLY to the
+    carrier (CFO = ppm * 868.1 Hz) and the sample clock (drift), 20 dB
+    SNR, plus the rx front-end impairments of
+    :func:`apply_sdr_impairments` (IQ imbalance, DC offset, 8-bit
+    quantization). This is the hermetic stand-in for the reference's OTA
+    fixtures (which cannot be fetched in this environment): every
+    impairment class its SDR captures carry is exercised at
+    crystal-tolerance magnitudes.
     """
     suite_dir = os.path.join(out_dir, suite)
     os.makedirs(suite_dir, exist_ok=True)
@@ -152,6 +195,11 @@ def generate_suite(
     conj = "conj" in suite and "implicit" not in suite
     if "drift" in suite and drift_ppm == 0.0:
         drift_ppm = 30.0
+    sdr = "sdr" in suite
+    if ("sync12" in suite or sdr) and sync_word == 0x00:
+        sync_word = 0x12
+    if sdr and snr_db >= 40.0:
+        snr_db = 20.0
     idx = 0
     if suite.startswith("decode_long"):
         cases = [(sf, 4, bytes(range(255)).hex(), 1) for sf in sfs]
@@ -165,27 +213,38 @@ def generate_suite(
     for sf, cr, payload_hex, times in cases:
         cfg = LoRaConfig(
             sf=sf, cr=cr, samp_rate=samp_rate, crc=not implicit,
-            implicit=implicit, conj=conj, reduced_rate=sf > 10
+            implicit=implicit, conj=conj, reduced_rate=sf > 10,
+            sync_word=sync_word,
         )
         sps = cfg.samples_per_symbol
         payload = bytes.fromhex(payload_hex)
+        # *sdr*: one tx crystal offset per trace, coherently coupling the
+        # carrier (CFO) and the sample clock (drift) — they share the
+        # crystal in real transmitters
+        trace_cfo, trace_ppm = cfo_hz, drift_ppm
+        if sdr:
+            ppm = float(rng.uniform(-10.0, 10.0))
+            trace_ppm = drift_ppm + ppm
+            trace_cfo = cfo_hz + ppm * 868.1
         chunks = []
         for t in range(times):
             chunk = modulate_frame(
                 cfg, payload,
                 pad_before=int(rng.integers(2000, 4000)),
                 pad_after=sps,
-                snr_db=snr_db, cfo_hz=cfo_hz,
+                snr_db=snr_db, cfo_hz=trace_cfo,
                 seed=int(rng.integers(0, 2**31)),
             )
-            if drift_ppm:
+            if trace_ppm:
                 from .channelizer import fractional_resampler
 
                 # receiver sampling a (1 + ppm)-fast transmitter clock:
                 # resample signal+noise by the clock ratio
                 chunk = fractional_resampler(
-                    chunk, 1.0 + drift_ppm * 1e-6
+                    chunk, 1.0 + trace_ppm * 1e-6
                 ).astype(np.complex64)
+            if sdr:
+                chunk = apply_sdr_impairments(chunk, rng)
             chunks.append(chunk)
         chunks.append(np.zeros(3 * sps, np.complex64))
         stream = np.concatenate(chunks)
