@@ -66,12 +66,15 @@ def main_wideband(n_channels: int = 1024):
               file=sys.stderr)
     iters = 10
     dt = float("inf")
-    for _ in range(5):  # best-of-rounds; see main() timing note
+    t_start = time.perf_counter()
+    for _ in range(5):  # time-budgeted best-of-rounds; see main()
         t0 = time.perf_counter()
         for _ in range(iters):
             res = wr.process(xd)
         np.asarray(res.valid)
         dt = min(dt, (time.perf_counter() - t0) / iters)
+        if time.perf_counter() - t_start > 120.0:
+            break
     msps = L / dt / 1e6
     print(json.dumps({
         "metric": f"wideband_{M}ch_throughput",
@@ -227,6 +230,11 @@ if __name__ == "__main__":
     else:
         # secondary metrics first (each in its own killable subprocess),
         # headline dense metric LAST so single-line consumers read the
-        # primary number; all lines land in the driver's tail capture
-        _subprocess_stage(["--wideband"], 420.0)
+        # primary number; all lines land in the driver's tail capture.
+        # 256 channels first: its smaller program compiles well inside the
+        # budget and guarantees a wideband metric (and a warm persistent
+        # compile cache) even when the 1024-channel compile+run cannot
+        # finish on a cold cache / contended chip (the r1/r2 failure mode)
+        _subprocess_stage(["--wideband", "256"], 420.0)
+        _subprocess_stage(["--wideband", "1024"], 540.0)
         main()

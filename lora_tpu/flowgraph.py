@@ -416,6 +416,25 @@ class StreamingLoRaReceiver:
                     wb, block_symbols=block_symbols
                 )
 
+        # Multi-channel graphs OFF the PFB grid (irregular offsets,
+        # decimation < 8, auto_cfo, golden/parity engines) run the
+        # batched mixer-bank + FIR on device as ONE jitted program over
+        # fixed-size blocks, instead of one host np.convolve per channel
+        # per chunk (which scales O(channels) on the host and starves
+        # real-time graphs past a handful of channels).
+        self._dev_run = None
+        self._dev_pending = np.zeros(0, np.complex64)
+        self._dev_head = 0
+        self._dev_mixer_key = None
+        self._dev_mixers = None
+        if (self._wb_stream is None and self._taps is not None
+                and len(self._offsets) >= 2):
+            try:
+                self._dev_bucket = 4096 * self.decimation
+                self._dev_run = self._build_dev_channelizer()
+            except ImportError:  # pragma: no cover - jax always present
+                self._dev_run = None
+
         if self._wb_stream is not None:
             self._streams = None
             self._buffered = None
@@ -436,6 +455,79 @@ class StreamingLoRaReceiver:
             self._buffered = [np.zeros(0, np.complex64) for _ in self._offsets]
 
     # -- chunk-continuous channelizer ------------------------------------
+    def _build_dev_channelizer(self):
+        import jax
+        import jax.numpy as jnp
+
+        t = jnp.asarray(self._taps[::-1].copy(), jnp.float32)
+        D = self.decimation
+
+        @jax.jit
+        def run(block, phases, mixers):
+            # phases: per-channel carrier phase at the block head (chunk
+            # continuity); mixers: host-built f64-accurate per-channel
+            # mixer table for one block length (cached across blocks,
+            # rebuilt only on CFO retune)
+            mixed = (phases[:, None] * mixers) * block[None, :]
+            y = jax.vmap(lambda r: jnp.convolve(r, t, mode="valid"))(mixed)
+            return y[:, ::D].astype(jnp.complex64)
+
+        return run
+
+    def _dev_mixer_table(self, offs_norm: np.ndarray, length: int):
+        """Per-channel ``exp(-2j pi f i)`` table, f64-built (a float32
+        on-device phase ramp would accumulate ~0.4 deg error over a
+        35k-sample block, a ~-44 dB spur against the 53 dB filter)."""
+        key = (tuple(offs_norm.tolist()), length)
+        if self._dev_mixer_key != key:
+            import jax.numpy as jnp
+
+            n = np.arange(length, dtype=np.float64)
+            table = np.exp(-2j * np.pi * offs_norm[:, None] * n[None, :])
+            self._dev_mixers = jnp.asarray(table.astype(np.complex64))
+            self._dev_mixer_key = key
+        return self._dev_mixers
+
+    def _channelize_device(self, x: np.ndarray, final: bool = False
+                           ) -> List[np.ndarray]:
+        import jax.numpy as jnp
+
+        ntaps = len(self._taps)
+        B = self._dev_bucket
+        L = B + ntaps - 1
+        if len(x):
+            self._dev_pending = np.concatenate([self._dev_pending, x])
+        outs: List[List[np.ndarray]] = [[] for _ in self._offsets]
+        offs = np.asarray(
+            [(o + c) / self.samp_rate
+             for o, c in zip(self._offsets, self.cfo)], dtype=np.float64)
+        while (len(self._dev_pending) >= L
+               or (final and len(self._dev_pending) >= ntaps)):
+            raw = self._dev_pending[:L]
+            n_valid = None
+            if len(raw) < L:  # final partial block: pad up, trim after
+                n_valid = -(-(len(raw) - ntaps + 1) // self.decimation)
+                raw = np.pad(raw, (0, L - len(raw)))
+            phases = np.exp(
+                -2j * np.pi * offs * float(self._dev_head)
+            ).astype(np.complex64)
+            y = np.asarray(self._dev_run(
+                jnp.asarray(raw), jnp.asarray(phases),
+                self._dev_mixer_table(offs, L)))
+            if n_valid is not None:
+                y = y[:, :max(n_valid, 0)]
+                self._dev_pending = self._dev_pending[:0]
+                self._dev_head += len(raw)
+            else:
+                self._dev_pending = self._dev_pending[B:]
+                self._dev_head += B
+            for ci in range(len(outs)):
+                outs[ci].append(y[ci])
+        return [
+            np.concatenate(o) if o else np.zeros(0, np.complex64)
+            for o in outs
+        ]
+
     def _channelize(self, x: np.ndarray) -> List[np.ndarray]:
         if self.disable_channelization or (
             self._taps is None
@@ -445,6 +537,8 @@ class StreamingLoRaReceiver:
             # pass-through shortcut; with auto_cfo the filter path always
             # runs so the accumulated CFO retunes the mixer
             return [x[:: self.decimation] for _ in self._offsets]
+        if self._dev_run is not None:
+            return self._channelize_device(x)
         ntaps = len(self._taps)
         raw = np.concatenate([self._tail, x])
         head = self._raw_index - len(self._tail)
@@ -475,8 +569,14 @@ class StreamingLoRaReceiver:
             frames = self._map_wb(self._wb_stream.push(x))
             self._emit(frames)
             return frames
+        frames = self._feed(self._channelize(x))
+        self._emit(frames)
+        return frames
+
+    def _feed(self, chans: List[np.ndarray]) -> List[Frame]:
+        """Route channelized chunks into the per-channel decoders."""
         frames: List[Frame] = []
-        for ci, ch in enumerate(self._channelize(x)):
+        for ci, ch in enumerate(chans):
             if not len(ch):
                 continue
             if self._streams is not None:
@@ -492,7 +592,6 @@ class StreamingLoRaReceiver:
                     self.apply_cfo(float(new[-1].cfo), ci)
             else:
                 self._buffered[ci] = np.concatenate([self._buffered[ci], ch])
-        self._emit(frames)
         return frames
 
     def _map_wb(self, frames: List[Frame]) -> List[Frame]:
@@ -524,6 +623,11 @@ class StreamingLoRaReceiver:
             self._emit(frames)
             return frames
         frames: List[Frame] = []
+        if self._dev_run is not None and len(self._dev_pending):
+            # drain the device channelizer's sub-block remainder
+            frames.extend(self._feed(
+                self._channelize_device(np.zeros(0, np.complex64),
+                                        final=True)))
         if self._streams is not None:
             for ci, s in enumerate(self._streams):
                 for f in s.flush():

@@ -237,6 +237,44 @@ def fft_shift_idx_mm(windows, fold_mat, xp=np):
     return xp.argmax(fr * fr + fi * fi, axis=-1).astype("int32")
 
 
+def _parab_frac(m, xp=np):
+    """Fractional peak offset of the argmax of ``m`` ``[..., n]`` via the
+    three-point parabolic vertex, in (-0.5, 0.5) bins."""
+    n = m.shape[-1]
+    j = xp.argmax(m, axis=-1)
+    m0 = xp.take_along_axis(m, j[..., None], axis=-1)[..., 0]
+    ml = xp.take_along_axis(m, ((j - 1) % n)[..., None], axis=-1)[..., 0]
+    mr = xp.take_along_axis(m, ((j + 1) % n)[..., None], axis=-1)[..., 0]
+    denom = ml - 2.0 * m0 + mr
+    return (
+        j.astype("int32"),
+        xp.where(xp.abs(denom) > 1e-20, 0.5 * (ml - mr) / denom, 0.0)
+        .astype("float32"),
+    )
+
+
+def fft_shift_frac(windows, downchirp, n_bins: int, sps: int, xp=np,
+                   fold_mat=None):
+    """Dechirped-tone bin AND fractional offset per window.
+
+    Returns ``(bin int32 [...], frac float32 [...])`` with ``frac`` in
+    (-0.5, 0.5) bins. The fractional part of a symbol's tone position is
+    data-independent (data shifts are whole bins) — it carries only the
+    timing/CFO offset, so its symbol-to-symbol slope measures the sample
+    clock drift the fft demod's static window grid cannot otherwise see
+    (see DenseReceiver ``fft_drift_pass``).
+    """
+    if fold_mat is not None:
+        er, ei = fold_mat
+        wr, wi = xp.real(windows), xp.imag(windows)
+        fr = wr @ er - wi @ ei
+        fi = wr @ ei + wi @ er
+        m = fr * fr + fi * fi
+    else:
+        m = dechirp_fft_mag(windows, downchirp, n_bins, sps, xp=xp)
+    return _parab_frac(m, xp=xp)
+
+
 def upchirp_sync_coarse_fine(windows2, downchirp, upchirp_ifreq, sps: int,
                              n_bins: int, decim: int, xp=np, fold_mat=None):
     """Fast upchirp alignment: dechirp-FFT coarse + small ifreq refine.

@@ -105,6 +105,7 @@ class DenseReceiver:
         max_symbols: int = 48,
         sfd_search: int = 12,
         demod_method: str = "auto",
+        fft_drift_pass: bool = False,
     ):
         if demod_method == "auto":
             demod_method = (
@@ -123,6 +124,17 @@ class DenseReceiver:
         self.S = max_symbols
         self.F = sfd_search
         self.method = demod_method
+        # fft engine sample-clock drift tracking (two-pass): the static
+        # window grid slips ~sps*ppm*1e-6 per symbol against a drifting
+        # transmitter clock — fatal at SF11/12 where a packet outruns the
+        # demod's ±decim/2 alignment tolerance. The fractional part of
+        # each symbol's dechirped-tone position is data-independent
+        # (data shifts are whole bins), so its symbol-to-symbol slope
+        # measures the slip; a second demod pass then reads each symbol
+        # at a drift-corrected offset. Opt-in: costs one extra gather +
+        # fold per symbol (the gradient engine tracks drift via fine_sync
+        # instead; see docs/test-results/short_sim_drift*.md).
+        self.fft_drift_pass = bool(fft_drift_pass)
         self.sps = config.samples_per_symbol
         self.n_bins = config.number_of_bins
         self.decim = config.decim_factor
@@ -419,7 +431,35 @@ class DenseReceiver:
 
         # --- batched demod: 8 header + S payload symbols, one FFT batch ---
         nsym = 8 + self.S
-        wins = win(p_data, nsym * sps).reshape(nsym, sps)
+        if self.fft_drift_pass:
+            # pass 1: fractional tone positions of the first symbols (the
+            # 8 header symbols always exist; a minimal packet has >= 13
+            # data symbols, so the median over 15 diffs tolerates a few
+            # past-end noise reads)
+            n_est = min(16, nsym)
+            wins0 = win(p_data, n_est * sps).reshape(n_est, sps)
+            _, frac = demod.fft_shift_frac(
+                wins0, self._down, self.n_bins, sps, xp=jnp,
+                fold_mat=self._fold_mat,
+            )
+            d = frac[1:] - frac[:-1]
+            d = (d + 0.5) % 1.0 - 0.5
+            slip = jnp.median(d) * self.decim  # samples / symbol, + = late
+            # pass 2: re-read each symbol at its drift-corrected offset.
+            # Anchor at the sync point: alignment was measured at i0
+            # (preamble time), so by data symbol k the static grid is
+            # late by (first + 2.25 + k) * slip samples — the SFD walk
+            # span plus the blind 2.25-symbol consume accumulate slip
+            # before the first data symbol does (the same handoff the
+            # gradient engine's drift feed-forward covers).
+            lateness = (first.astype(jnp.float32) + 2.25
+                        + jnp.arange(nsym, dtype=jnp.float32)) * slip
+            offs = -jnp.round(lateness).astype(jnp.int32)
+            wins = jax.vmap(
+                lambda k, o: win(p_data + k * sps + o, sps)
+            )(jnp.arange(nsym), offs)
+        else:
+            wins = win(p_data, nsym * sps).reshape(nsym, sps)
         if self._fold_mat is not None:
             b_full = demod.fft_shift_idx_mm(wins, self._fold_mat, xp=jnp)
         else:

@@ -65,8 +65,10 @@ def detection_metrics_planes(xf, sps: int):
     return corr.astype(jnp.float32), e1.astype(jnp.float32), e2.astype(jnp.float32)
 
 
-LEAK_RATIO = 100.0  # 20 dB: far above noise asymmetry, far below the
-                    # >=40 dB sidelobe attenuation of the channel filters
+LEAK_RATIO = 10.0 ** 3.5  # 35 dB: 5 dB guard under the >=40 dB sidelobe
+                          # attenuation of the channel filters (53 dB
+                          # Hamming designs), so only signals that CANNOT
+                          # be genuine in-channel packets are masked
 
 
 def leak_suppression(e1, xp=jnp):
@@ -80,8 +82,12 @@ def leak_suppression(e1, xp=jnp):
     time-aligned with its source and tens of dB weaker (>=40 dB for the
     reference's 53 dB Hamming filter designs), so: suppress a window
     whose energy sits ``LEAK_RATIO`` below the strongest channel's energy
-    at the SAME window. Single-stream inputs (no leading axes) are never
-    suppressed.
+    at the SAME window. The ratio must stay strictly below the filter
+    attenuation: LoRa networks live in the near/far regime, and a genuine
+    packet 25-35 dB weaker than a concurrent transmission on another
+    channel is decodable and MUST survive the mask
+    (tests/test_pooled.py::test_near_far_weak_packet_decodes). Single-
+    stream inputs (no leading axes) are never suppressed.
     """
     lead = tuple(range(e1.ndim - 1))
     if not lead:

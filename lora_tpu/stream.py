@@ -64,12 +64,18 @@ class StreamingReceiver:
         self._pending: List[tuple] = []  # (device result, abs offset)
         self._abs = 0  # absolute sample index of current buffer head
         self._frames: List[Frame] = []
-        self._emitted_starts: List[int] = []  # recent abs starts (dedup)
+        self._emitted_starts: List[tuple] = []  # recent (abs start, payload)
         # two decodable packets cannot start closer than preamble+header
         # (~20 symbols); a seam-clipped rising edge shifts the reported
         # start by at most a couple of windows — 16 symbols separates the
         # two cases with a wide margin either way
         self._dedup_distance = 16 * sps
+        # observability (no silent frame loss): every dedup suppression is
+        # counted; a suppression whose payload DIFFERS from the frame that
+        # blocked it is a conflict — the heuristic discarded something
+        # that was not a re-detection of the same packet
+        self.n_dedup_suppressed = 0
+        self.n_dedup_conflicts = 0
         self._eof = False
 
         self._ring = None
@@ -175,25 +181,30 @@ class StreamingReceiver:
                 if starts[k] >= own:  # owned by a later block
                     continue
                 abs_start = int(abs_offset + starts[k])
+                payload = bytes(
+                    np.asarray(r.payload)[0, k][: np.asarray(r.length)[0, k]]
+                )
                 # seam dedup: a packet whose rising edge is clipped by the
                 # block boundary re-detects in the next block at a slightly
                 # different start — suppress near-duplicates (first block,
                 # which saw the unclipped preamble, wins)
-                if any(
-                    abs(abs_start - s) < self._dedup_distance
-                    for s in self._emitted_starts
-                ):
+                blocker = next(
+                    (s for s in self._emitted_starts
+                     if abs(abs_start - s[0]) < self._dedup_distance), None,
+                )
+                if blocker is not None:
+                    self.n_dedup_suppressed += 1
+                    if blocker[1] != payload:
+                        self.n_dedup_conflicts += 1
                     continue
-                self._emitted_starts.append(abs_start)
+                self._emitted_starts.append((abs_start, payload))
                 if len(self._emitted_starts) > 64:
                     del self._emitted_starts[:32]
                 from .io.frames import PhyHeader
 
                 f = Frame(
                     phy_header=PhyHeader.from_bytes(bytes(np.asarray(r.hdr)[0, k])),
-                    payload=bytes(
-                        np.asarray(r.payload)[0, k][: np.asarray(r.length)[0, k]]
-                    ),
+                    payload=payload,
                     snr=float(np.asarray(r.snr)[0, k]),
                     channel=0,
                     sample_index=abs_start,
@@ -256,8 +267,11 @@ class WidebandStreamingReceiver:
         self._pending: List[tuple] = []
         self._abs = 0
         self._frames: List[Frame] = []
-        self._emitted: dict = {}  # channel -> recent abs channel-sample starts
+        self._emitted: dict = {}  # channel -> recent (abs start, payload)
         self._dedup_distance = 16 * sps
+        # dedup observability (see StreamingReceiver)
+        self.n_dedup_suppressed = 0
+        self.n_dedup_conflicts = 0
         self._buf = np.zeros(0, np.complex64)
 
     def push(self, samples) -> List[Frame]:
@@ -314,17 +328,25 @@ class WidebandStreamingReceiver:
                 if start >= own_chan:
                     continue  # owned by a later block
                 abs_start = abs_offset // self.M + start
+                payload = bytes(
+                    np.asarray(r.payload)[sel][: np.asarray(r.length)[sel]]
+                )
                 seen = self._emitted.setdefault(chan, [])
-                if any(abs(abs_start - s) < self._dedup_distance for s in seen):
+                blocker = next(
+                    (s for s in seen
+                     if abs(abs_start - s[0]) < self._dedup_distance), None,
+                )
+                if blocker is not None:
+                    self.n_dedup_suppressed += 1
+                    if blocker[1] != payload:
+                        self.n_dedup_conflicts += 1
                     continue
-                seen.append(abs_start)
+                seen.append((abs_start, payload))
                 if len(seen) > 64:
                     del seen[:32]
                 f = Frame(
                     phy_header=PhyHeader.from_bytes(bytes(np.asarray(r.hdr)[sel])),
-                    payload=bytes(
-                        np.asarray(r.payload)[sel][: np.asarray(r.length)[sel]]
-                    ),
+                    payload=payload,
                     snr=float(np.asarray(r.snr)[sel]),
                     channel=chan,
                     sample_index=abs_start,

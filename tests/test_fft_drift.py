@@ -1,0 +1,61 @@
+"""fft-engine drift tracking (DenseReceiver fft_drift_pass).
+
+The fft demod reads symbols on a static window grid — a transmitter
+clock offset slides that grid by ``sps * ppm * 1e-6`` samples per symbol
+with no fine-sync feedback to absorb it (rx/dense.py module docs). At
+SF12 / 250 ksps (decim 2: the wideband per-channel regime, where auto
+method selection picks fft) a 30 ppm offset slips ~0.25 samples/symbol
+— ~3 bins over a packet — and must corrupt the payload without the
+two-pass fractional-bin slope correction.
+"""
+
+import numpy as np
+import pytest
+
+from lora_tpu.channelizer import fractional_resampler
+from lora_tpu.config import LoRaConfig
+from lora_tpu.rx.dense import DenseReceiver
+from lora_tpu.tx.modulator import modulate_frame
+
+PAYLOAD = bytes.fromhex("deadbeef")
+
+
+def _stream(cfg, ppm, seed=0):
+    sps = cfg.samples_per_symbol
+    chunk = modulate_frame(cfg, PAYLOAD, pad_before=2500 + 301 * seed,
+                           pad_after=sps, snr_db=40.0, seed=seed)
+    if ppm:
+        chunk = fractional_resampler(chunk, 1.0 + ppm * 1e-6).astype(np.complex64)
+    return np.concatenate([chunk, np.zeros(3 * sps, np.complex64)])
+
+
+@pytest.mark.parametrize("ppm", [-30.0, 30.0])
+def test_fft_drift_pass_tracks_30ppm_sf12(ppm):
+    cfg = LoRaConfig(sf=12, cr=4, samp_rate=250e3, crc=True, reduced_rate=True)
+    stream = _stream(cfg, ppm)
+    rx = DenseReceiver(cfg, max_candidates=4, max_symbols=48,
+                       demod_method="fft", fft_drift_pass=True)
+    frames = rx.run(stream)
+    assert len(frames) == 1 and frames[0].mac_payload == PAYLOAD
+
+
+def test_fft_without_drift_pass_fails_30ppm_sf12():
+    # documents WHY the option exists: the static grid alone cannot track
+    # crystal-tolerance drift at high SF
+    cfg = LoRaConfig(sf=12, cr=4, samp_rate=250e3, crc=True, reduced_rate=True)
+    stream = _stream(cfg, 30.0)
+    rx = DenseReceiver(cfg, max_candidates=4, max_symbols=48,
+                       demod_method="fft")
+    frames = rx.run(stream)
+    assert not any(f.mac_payload == PAYLOAD for f in frames)
+
+
+def test_fft_drift_pass_clean_signal_unchanged():
+    # zero drift: slope ~ 0, corrected reads match the plain grid
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
+    stream = _stream(cfg, 0.0)
+    for drift_pass in (False, True):
+        rx = DenseReceiver(cfg, max_candidates=4, max_symbols=24,
+                           demod_method="fft", fft_drift_pass=drift_pass)
+        frames = rx.run(stream)
+        assert len(frames) == 1 and frames[0].mac_payload == PAYLOAD

