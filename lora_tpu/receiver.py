@@ -148,6 +148,13 @@ class LoRaReceiver:
                 for f in dec.run(np.asarray(s)):
                     f.channel = ci
                     frames.append(f)
+        for f in frames:
+            # stamp the LoRaTap radio-metadata fields (the reference
+            # memsets them to zero except snr, lib/decoder_impl.cc:592-600;
+            # filling them matches what loratap consumers expect)
+            f.tap_header.frequency = int(self.channel_list[f.channel])
+            f.tap_header.sf = self.config.sf
+            f.tap_header.sync_word = self.config.sync_word
         if self.auto_cfo and frames:
             # close the reference's decoder->controller->channelizer loop
             # (python/lora_receiver.py:66, lib/controller_impl.cc:52-57):

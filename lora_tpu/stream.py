@@ -354,6 +354,7 @@ class WidebandStreamingReceiver:
                 )
                 f.tap_header.frequency = int(abs(self.wb.channel_freqs[chan]))
                 f.tap_header.sf = self.wb.cfg.sf
+                f.tap_header.sync_word = self.wb.cfg.sync_word
                 self._frames.append(f)
                 for s in self.sinks:
                     s.handle(f)

@@ -121,6 +121,7 @@ class WidebandReceiver:
                 )
                 f.tap_header.frequency = int(abs(self.channel_freqs[chan]))
                 f.tap_header.sf = self.cfg.sf
+                f.tap_header.sync_word = self.cfg.sync_word
                 frames.append(f)
             return frames
 
@@ -139,5 +140,6 @@ class WidebandReceiver:
                 )
                 f.tap_header.frequency = int(abs(self.channel_freqs[chan]))
                 f.tap_header.sf = self.cfg.sf
+                f.tap_header.sync_word = self.cfg.sync_word
                 frames.append(f)
         return frames
