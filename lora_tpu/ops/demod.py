@@ -499,15 +499,24 @@ def fine_sync_lag(window, bin_idx, upchirp_ifreq_tiled, sps: int, decim: int,
         refs = np.take(upchirp_ifreq_tiled, idx, axis=-1)
         corr = np.einsum("...s,...ls->...l", ifr, refs)
     else:
-        # corr[l] = sum_k ifr[k] * tiled[base + lags[l] + k]: a valid
-        # cross-correlation of a dynamically-sliced table section with the
-        # window's ifreq (conv lowering; no big gather constants)
+        # corr[l] = sum_k ifr[k] * tiled[base + lags[l] + k]: slice the
+        # table section once per lane, then one [n_lags, sps] @ [sps]
+        # matmul over statically-unrolled lag rows. An earlier
+        # jnp.convolve formulation (kernel size = sps) made XLA compile a
+        # full-size convolution — at SF12 a 32768-tap conv whose
+        # compilation dominated dense-engine build times on the remote
+        # toolchain; the unrolled slices + dot compile in seconds and
+        # lower to the same dot products.
         table = xp.asarray(np.asarray(upchirp_ifreq_tiled))
         sec_len = sps + n_lags - 1
 
         def one(b, f):
             section = jax.lax.dynamic_slice(table, (b + lags[0],), (sec_len,))
-            return jnp.convolve(section, f[::-1], mode="valid")
+            rows = jnp.stack(
+                [jax.lax.dynamic_slice(section, (l,), (sps,))
+                 for l in range(n_lags)]
+            )  # [n_lags, sps]
+            return rows @ f
 
         bflat = base.reshape(-1)
         fflat = ifr.reshape(-1, sps)
