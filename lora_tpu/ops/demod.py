@@ -322,14 +322,16 @@ def upchirp_sync_coarse_fine(windows2, downchirp, upchirp_ifreq, sps: int,
     segs = jax.vmap(
         lambda row, bs: jax.lax.dynamic_slice(row, (bs,), (seg_len,))
     )(flat, bflat)  # [B, seg_len]
-    # all `span` lag dots at once: a VALID cross-correlation with the
-    # ideal-upchirp ifreq (conv_general_dilated correlates — no kernel
-    # flip), which XLA lowers to one im2col matmul instead of `span`
-    # per-lane gathers
-    c = jax.lax.conv_general_dilated(
-        segs[:, None, :], ref.reshape(1, 1, -1).astype(segs.dtype),
-        window_strides=(1,), padding="VALID",
-    )[:, 0, :]  # [B, span]
+    # all `span` lag dots at once: statically-unrolled lag rows + one
+    # [B, span, sps-1] x [sps-1] contraction. (An earlier
+    # conv_general_dilated formulation carried an (sps-1)-tap kernel,
+    # whose XLA convolution compilation dominated large-SF build times
+    # on the remote toolchain — same pathology as fine_sync_lag.)
+    rows = jnp.stack(
+        [jax.lax.slice_in_dim(segs, l, l + sps - 1, axis=-1)
+         for l in range(span)], axis=1,
+    )  # [B, span, sps-1]
+    c = rows @ ref.astype(segs.dtype)  # [B, span]
     idx = (bflat + jnp.argmax(c, axis=-1)).astype(jnp.int32).reshape(b.shape)
     return idx, None
 
