@@ -66,9 +66,17 @@ def instantaneous_phase(samples, xp=np):
 
 
 def tiled_upchirp_ifreq(config: LoRaConfig, xp=np):
-    """ifreq of three concatenated upchirps (reference :170-174), used as the
-    reference waveform bank for fine sync lag search."""
+    """ifreq of three concatenated upchirps (reference :170-174), used as
+    the reference waveform bank for fine sync lag search — tiled with a
+    FOURTH symbol appended: ``fine_sync_lag`` at the top bin reads rows
+    at ``(bin+1)*decim + sps + lag``, which for ``bin = N-1`` with a
+    positive lag runs up to ``3*sps + search - 2`` — past the
+    reference's own 3-symbol bank (``lib/decoder_impl.cc:170-174``; its
+    C++ silently reads adjacent heap there, our numpy path raised
+    IndexError — surfaced by tests/test_lag_search_backends.py). The
+    chirp is periodic, so the extra symbol extends the bank with the
+    values the search semantically expects."""
     up, _ = build_ideal_chirps(config, xp=np)
-    tiled = np.concatenate([up, up, up])
+    tiled = np.concatenate([up, up, up, up])
     out = instantaneous_frequency(tiled, xp=np)
     return out if xp is np else xp.asarray(out)
