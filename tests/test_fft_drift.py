@@ -59,3 +59,33 @@ def test_fft_drift_pass_clean_signal_unchanged():
                            demod_method="fft", fft_drift_pass=drift_pass)
         frames = rx.run(stream)
         assert len(frames) == 1 and frames[0].mac_payload == PAYLOAD
+
+
+@pytest.mark.slow
+def test_wideband_forwards_drift_pass():
+    """The wideband receiver forwards fft_drift_pass to its dense stage:
+    a 30 ppm-drifted SF12 packet on one PFB channel decodes through the
+    full PFB + pooled-decode program."""
+    from lora_tpu.channelizer import pfb_channel_freqs
+    from lora_tpu.wideband import WidebandReceiver
+
+    M = 4
+    cfg = LoRaConfig(sf=12, cr=4, samp_rate=250e3, crc=True, reduced_rate=True)
+    wide_rate = M * cfg.samp_rate
+    wide_cfg = LoRaConfig(sf=12, cr=4, samp_rate=wide_rate, crc=True,
+                          reduced_rate=True)
+    sps_w = wide_cfg.samples_per_symbol
+    pkt = modulate_frame(wide_cfg, PAYLOAD, pad_before=2 * sps_w, snr_db=40.0)
+    pkt = fractional_resampler(pkt, 1.0 + 30e-6).astype(np.complex64)
+    chan = 2
+    freqs = pfb_channel_freqs(wide_rate, M)
+    t = np.arange(len(pkt))
+    x = (pkt * np.exp(2j * np.pi * freqs[chan] / wide_rate * t)
+         ).astype(np.complex64)
+    x = np.concatenate([x, np.zeros(4 * sps_w, np.complex64)])
+
+    wr = WidebandReceiver(cfg, M, pool=4, max_candidates=2, max_symbols=48,
+                          demod_method="fft", fft_drift_pass=True)
+    frames = wr.run(x)
+    got = {f.channel: f.mac_payload for f in frames}
+    assert got.get(chan) == PAYLOAD, got
