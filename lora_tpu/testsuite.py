@@ -305,8 +305,16 @@ def run_suite(
                 n_expected + (MAC_CRC_SIZE if cfg.crc else 0)
             )
             max_symbols = max(48, -(-need // 48) * 48)
+            # The dense engine's explicit-mode program is CR-independent
+            # (the coding rate is decoded from the PHY header; the
+            # deinterleave tables cover all four CR variants behind one
+            # gather) — sharing one receiver across CRs cuts the per-SF
+            # jit compiles 4x on suite runs. Golden/parity keep per-CR
+            # instances (their d_phdr initialises from constructor args,
+            # reference lib/decoder_impl.cc:72-73).
+            key_cr = 0 if (engine == "dense" and not cfg.implicit) else cfg.cr
             key = (trace.sample_rate, trace.capture_freq,
-                   trace.frequency_offset, cfg.bandwidth, cfg.sf, cfg.cr,
+                   trace.frequency_offset, cfg.bandwidth, cfg.sf, key_cr,
                    cfg.implicit, cfg.crc, cfg.conj, cfg.reduced_rate,
                    max_symbols)
             rx = rx_cache.get(key)
