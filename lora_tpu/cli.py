@@ -245,6 +245,8 @@ main_testsuite = _entry("testsuite")
 main_gen_suite = _entry("gen-suite")
 main_bench = _entry("bench")
 main_analyze = _entry("analyze")
+main_flowgraph = _entry("flowgraph")
+main_timings = _entry("timings")
 
 
 if __name__ == "__main__":
