@@ -156,7 +156,9 @@ def main(argv=None) -> int:
     d.add_argument("--sf", type=int, default=7)
     d.add_argument("--cr", type=int, default=4)
     d.add_argument("--implicit", action="store_true")
-    d.add_argument("--crc", action="store_true", default=True)
+    d.add_argument("--crc", action=argparse.BooleanOptionalAction, default=True,
+                   help="payload carries a MAC CRC (--no-crc for raw cf32 "
+                        "captures of crc-less frames)")
     d.add_argument("--reduced-rate", action="store_true")
     d.add_argument("--conj", action="store_true")
     d.add_argument("--decimation", type=int, default=1)
