@@ -89,7 +89,15 @@ def stage_timings(
     down_ifreq = instantaneous_frequency(down)
     up_ifreq = instantaneous_frequency(up)
     up_ifreq_v = tiled_upchirp_ifreq(cfg)
-    fold = demod.make_fold_dft(down, sps, cfg.number_of_bins)
+    # fold-DFT matmul only within the dense engine's own size budget
+    # (rx/dense.py): at SF12 full rate the matrix would be 134M entries
+    # (~1 GB) built by a host loop — this unconditional build is what
+    # made SF12 timings runs hang before ever compiling anything
+    fold = (
+        demod.make_fold_dft(down, sps, cfg.number_of_bins)
+        if method == "fft" and sps * cfg.number_of_bins <= 16 * 1024 * 1024
+        else None
+    )
 
     timings: Dict[str, float] = {"samples_per_symbol": float(sps)}
 
@@ -138,7 +146,14 @@ def stage_timings(
 
     # --- demod: per symbol (the reference's per-symbol table rows) ---
     if method == "fft":
-        dm = jax.jit(lambda wf: demod.fft_shift_idx_mm(_cplx(wf), fold, xp=jnp))
+        if fold is not None:
+            dm = jax.jit(
+                lambda wf: demod.fft_shift_idx_mm(_cplx(wf), fold, xp=jnp))
+        else:  # batched-FFT fallback (the engine's own large-SF path)
+            dm = jax.jit(
+                lambda wf: demod.fft_shift_idx(
+                    _cplx(wf), jnp.asarray(down), cfg.number_of_bins, sps,
+                    xp=jnp))
     else:
         def dm_fn(wf):
             w = _cplx(wf)
