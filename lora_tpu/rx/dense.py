@@ -106,6 +106,7 @@ class DenseReceiver:
         sfd_search: int = 12,
         demod_method: str = "auto",
         fft_drift_pass: bool = False,
+        fast_sync: bool = False,
     ):
         if demod_method == "auto":
             demod_method = (
@@ -135,6 +136,18 @@ class DenseReceiver:
         # fold per symbol (the gradient engine tracks drift via fine_sync
         # instead; see docs/test-results/short_sim_drift*.md).
         self.fft_drift_pass = bool(fft_drift_pass)
+        # Gradient-engine Phase B sync selector (opt-in). The default is
+        # the reference-parity O(sps^2) sliding ifreq search
+        # (upchirp_sync_xcorr) — at SF12 it costs 4.3 ms/event and its
+        # sps-tap convolution is the one remaining slow-compiling op
+        # (docs/perf/timings.md).  fast_sync=True uses the fold-DFT
+        # parabolic boundary estimate instead (the fft engine's sync,
+        # 0.14 ms/event): its ±decim/2 alignment error sits inside the
+        # gradient demod's ±3-sample basin at the operating decimations,
+        # and the FIND_SFD walk's resync branch absorbs the residual.
+        # Kept opt-in so the committed accuracy matrix stays bound to the
+        # parity search; flip after a full-matrix revalidation.
+        self.fast_sync = bool(fast_sync)
         self.sps = config.samples_per_symbol
         self.n_bins = config.number_of_bins
         self.decim = config.decim_factor
@@ -217,7 +230,16 @@ class DenseReceiver:
         sps = self.sps
 
         # --- SYNC: align to upchirp start (reference :770-783) ---
-        i0, _ = demod.upchirp_sync_xcorr(win(0, 2 * sps), self._up_ifreq, sps, xp=jnp)
+        if self.fast_sync:
+            # coarse dechirp boundary + small ifreq refine recovers the
+            # exact offset the sliding search would have found (and a
+            # sub-sample parabolic estimate when the fold matrix exists)
+            i0, _ = demod.upchirp_sync_coarse_fine(
+                win(0, 2 * sps), self._down, self._up_ifreq, sps,
+                self.n_bins, self.decim, xp=jnp, fold_mat=self._fold_mat)
+        else:
+            i0, _ = demod.upchirp_sync_xcorr(
+                win(0, 2 * sps), self._up_ifreq, sps, xp=jnp)
         frac_cfo = demod.preamble_cfo(
             win(i0.astype(jnp.int32), 2 * sps), sps, cfg.samp_rate, xp=jnp,
         )

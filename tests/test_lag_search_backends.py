@@ -76,3 +76,28 @@ def test_coarse_fine_backends_match(ctx, offset):
     # returned boundary is congruent to the true one modulo a symbol
     assert (int(np.asarray(i_j)) - (sps - offset)) % sps <= 2 or \
            (sps - ((int(np.asarray(i_j)) - (sps - offset)) % sps)) <= 2
+
+
+@pytest.mark.parametrize("sf", [7, 11, 12])
+def test_dense_gradient_fast_sync_decodes(sf):
+    """Opt-in fast sync for the dense gradient engine: the fold/coarse
+    boundary estimate replaces the O(sps^2) sliding search — alignment
+    error stays inside the gradient demod's basin, so clean, sync-word
+    and drifted packets all decode."""
+    from lora_tpu.channelizer import fractional_resampler
+    from lora_tpu.rx.dense import DenseReceiver
+    from lora_tpu.tx.modulator import modulate_frame
+
+    payload = bytes.fromhex("deadbeef")
+    cfg = LoRaConfig(sf=sf, cr=4, samp_rate=1e6, crc=True,
+                     reduced_rate=sf > 10, sync_word=0x12)
+    sps = cfg.samples_per_symbol
+    chunk = modulate_frame(cfg, payload, pad_before=2500, pad_after=sps,
+                           snr_db=40.0, seed=0)
+    if sf == 12:  # hardest combination: sync word + 30 ppm drift
+        chunk = fractional_resampler(chunk, 1.0 + 30e-6).astype(np.complex64)
+    stream = np.concatenate([chunk, np.zeros(3 * sps, np.complex64)])
+    rx = DenseReceiver(cfg, max_candidates=4, max_symbols=48, fast_sync=True)
+    assert rx.method == "gradient"
+    frames = rx.run(stream)
+    assert len(frames) == 1 and frames[0].mac_payload == payload
