@@ -504,6 +504,9 @@ class StreamingLoRaReceiver:
         while (len(self._dev_pending) >= L
                or (final and len(self._dev_pending) >= ntaps)):
             raw = self._dev_pending[:L]
+            n_raw = len(raw)  # pre-pad length: the head advances by the
+            # samples actually consumed, so a push() after a final
+            # (padded) flush resumes with the right mixer phase
             n_valid = None
             if len(raw) < L:  # final partial block: pad up, trim after
                 n_valid = -(-(len(raw) - ntaps + 1) // self.decimation)
@@ -517,7 +520,7 @@ class StreamingLoRaReceiver:
             if n_valid is not None:
                 y = y[:, :max(n_valid, 0)]
                 self._dev_pending = self._dev_pending[:0]
-                self._dev_head += len(raw)
+                self._dev_head += n_raw
             else:
                 self._dev_pending = self._dev_pending[B:]
                 self._dev_head += B

@@ -367,6 +367,49 @@ def downchirp_pearson(window, downchirp_ifreq, sps: int, xp=np):
     return (c / n).astype("float32")
 
 
+def upchirp_likeness(window, bin_idx, upchirp_ifreq_tiled, sps: int,
+                     decim: int, xp=np):
+    """Pearson of ``ifreq(window)`` against the ideal upchirp ifreq at the
+    demodulated bin's own lag — evidence that a window contains a genuine
+    (possibly shifted) upchirp at all.
+
+    ``bin_idx`` follows the *gradient* demod convention (a window reading
+    gradient bin ``b`` matches the tiled table at offset ``(b+1)*decim``,
+    the same row :func:`fine_sync_lag` correlates against). Any true
+    upchirp — plain preamble or a sync-word symbol shifted by an arbitrary
+    number of bins — scores ~1.0 (>= 0.7 at 10 dB SNR), while noise scores
+    ~0 (|c| < 0.05 measured): the separation the raw downchirp Pearson
+    cannot provide (a half-rotation SF7 sync symbol reads +0.12, inside
+    the noise band). CFO-invariant: a carrier offset adds a constant to
+    the ifreq, which Pearson's centering removes. Gates the FIND_SFD
+    sync-word recognition so noise windows keep spending correlation-fail
+    budget (they would otherwise consume the 2-window recognition
+    allowance and delay the corr_fails -> DETECT retry).
+    """
+    n = sps - 1
+    ifr = instantaneous_frequency(window, xp=xp)[..., :n]
+    base = (xp.asarray(bin_idx) + 1) * decim + sps
+    if xp is np:
+        idx = np.asarray(base)[..., None] + np.arange(n)
+        ref = np.take(np.asarray(upchirp_ifreq_tiled), idx, axis=-1)
+    else:
+        table = xp.asarray(np.asarray(upchirp_ifreq_tiled))
+        bflat = base.reshape(-1)
+        ref = jax.vmap(
+            lambda b: jax.lax.dynamic_slice(table, (b,), (n,))
+        )(bflat).reshape(base.shape + (n,))
+    x = ifr - xp.mean(ifr, axis=-1, keepdims=True)
+    y = ref - xp.mean(ref, axis=-1, keepdims=True)
+    num = xp.sum(x * y, axis=-1)
+    den = xp.sqrt(xp.sum(x * x, axis=-1) * xp.sum(y * y, axis=-1))
+    c = xp.where(den > 0, num / xp.where(den > 0, den, 1.0), 0.0)
+    return c.astype("float32")
+
+
+SYNC_LIKENESS_MIN = 0.35  # >= 10-sigma above the noise band, half the
+                          # 10 dB-SNR sync-symbol score (see upchirp_likeness)
+
+
 def max_frequency_gradient_idx(window, n_bins: int, decim: int, xp=np):
     """Default demod: largest negative ifreq gradient between adjacent bins.
 

@@ -31,10 +31,12 @@ Demod methods:
   is insensitive to ±decim/2 misalignment, so it is the sound choice for
   low-decimation rates the reference never exercises.
 
-Scope notes: the fft engine supports explicit and implicit headers
-(implicit energy-stop evaluated on the static window grid); the gradient
-engine is explicit-only (use :class:`lora_tpu.rx.receiver.JaxReceiver`
-for gradient-parity implicit decode). Packets starting within the last
+Scope notes: both engines support explicit and implicit headers (the
+fft engine evaluates the implicit energy-stop on the static window grid;
+the gradient engine on its fine-sync-tracked windows). ``auto`` still
+routes implicit configs to the fft engine (the throughput-sane choice);
+request ``demod_method="gradient"`` explicitly for the reference's
+default demod in implicit mode. Packets starting within the last
 ``max_packet_samples`` of a block need the following (overlapping) block
 — halo handling lives in :mod:`lora_tpu.parallel` / `lora_tpu.stream`.
 """
@@ -105,20 +107,15 @@ class DenseReceiver:
         max_symbols: int = 48,
         sfd_search: int = 12,
         demod_method: str = "auto",
-        fft_drift_pass: bool = False,
-        fast_sync: bool = False,
+        fft_drift_pass=None,
+        fast_sync=None,
+        header_checksum: bool = False,
     ):
         if demod_method == "auto":
             demod_method = (
                 "fft"
                 if config.implicit or config.decim_factor < 4
                 else "gradient"
-            )
-        if config.implicit and demod_method != "fft":
-            raise ValueError(
-                "dense implicit mode requires the fft engine (energy-stop "
-                "is evaluated on the static window grid); use the parity "
-                "engine for gradient-method implicit decode"
             )
         self.cfg = config
         self.P = max_candidates
@@ -132,22 +129,42 @@ class DenseReceiver:
         # each symbol's dechirped-tone position is data-independent
         # (data shifts are whole bins), so its symbol-to-symbol slope
         # measures the slip; a second demod pass then reads each symbol
-        # at a drift-corrected offset. Opt-in: costs one extra gather +
-        # fold per symbol (the gradient engine tracks drift via fine_sync
+        # at a drift-corrected offset. Costs one extra gather + fold per
+        # symbol (the gradient engine tracks drift via fine_sync
         # instead; see docs/test-results/short_sim_drift*.md).
+        # Default (None) = auto: ON for the fft engine exactly where the
+        # static grid's tolerance is outrun at crystal-tolerance clock
+        # offsets. The total per-packet slip over nsym symbols is
+        # ``nsym * sps * ppm`` samples against a ``decim/2`` tolerance —
+        # their ratio ``2 * nsym * n_bins * ppm`` is decim-independent
+        # and crosses 1.0 around n_bins ~ 1500 at 30 ppm / 46 symbols:
+        # SF >= 11. Below that the grid never slips far enough to
+        # matter, and the correction's rounding noise on clean signals
+        # is all cost and no benefit (at decim 2 a half-sample
+        # mis-correction is half a bin).
+        if fft_drift_pass is None:
+            fft_drift_pass = demod_method == "fft" and config.sf >= 11
         self.fft_drift_pass = bool(fft_drift_pass)
-        # Gradient-engine Phase B sync selector (opt-in). The default is
-        # the reference-parity O(sps^2) sliding ifreq search
-        # (upchirp_sync_xcorr) — at SF12 it costs 4.3 ms/event and its
-        # sps-tap convolution is the one remaining slow-compiling op
-        # (docs/perf/timings.md).  fast_sync=True uses the fold-DFT
-        # parabolic boundary estimate instead (the fft engine's sync,
-        # 0.14 ms/event): its ±decim/2 alignment error sits inside the
-        # gradient demod's ±3-sample basin at the operating decimations,
-        # and the FIND_SFD walk's resync branch absorbs the residual.
-        # Kept opt-in so the committed accuracy matrix stays bound to the
-        # parity search; flip after a full-matrix revalidation.
-        self.fast_sync = bool(fast_sync)
+        # Gradient-engine Phase B sync selector. Default (None) = the
+        # fold-DFT parabolic boundary estimate (the fft engine's sync,
+        # 0.14 ms/event at SF12): its ±decim/2 alignment error sits
+        # inside the gradient demod's ±3-sample basin at the operating
+        # decimations, and the FIND_SFD walk's resync branch absorbs the
+        # residual — validated across the full 12-suite matrix (round 4,
+        # docs/test-results). ``fast_sync=False`` opts back into the
+        # reference-parity O(sps^2) sliding ifreq search
+        # (upchirp_sync_xcorr) — 4.3 ms/event at SF12 and its sps-tap
+        # convolution is the one slow-compiling op on the remote
+        # toolchain (docs/perf/timings.md).
+        self.fast_sync = True if fast_sync is None else bool(fast_sync)
+        # Opt-in rx PHY-header checksum verification (the reference stubs
+        # this check, utilities.h:396-404; the tx here computes it). At
+        # dense-scan scale — thousands of channels × noise-driven
+        # candidate lanes — the 5-bit check prunes ~97% of false frames
+        # (see docs/perf/false_frames.md). Off by default for parity with
+        # the reference (whose OTA traces *do* carry valid checksums, but
+        # third-party captures may not).
+        self.header_checksum = bool(header_checksum)
         self.sps = config.samples_per_symbol
         self.n_bins = config.number_of_bins
         self.decim = config.decim_factor
@@ -253,15 +270,20 @@ class DenseReceiver:
             # sync-word recognition (see GoldenReceiver FIND_SFD): a run
             # of <= 2 upchirps clearly shifted vs the anchored preamble
             # bin, after >= 2 stable preamble reads, is the sync word —
-            # hold alignment, spend no fail budget
+            # hold alignment, spend no fail budget. Recognition demands
+            # signal evidence (demod.upchirp_likeness) so noise windows
+            # can't spend the recognition allowance.
             b = demod.max_frequency_gradient_idx(w, self.n_bins, self.decim, xp=jnp)
             first = ref < 0
             ref = jnp.where(first, b, ref)
             streak = jnp.where(first, 1, streak)
             rel = (b - ref) % self.n_bins
             dist = jnp.minimum(rel, self.n_bins - rel)
+            likeness = demod.upchirp_likeness(
+                w, b, self._up_ifreq_v, sps, self.decim, xp=jnp)
             is_syncw = ((~found) & (~hit) & (dist > 3) & (srun < 2)
-                        & (streak >= 2))
+                        & (streak >= 2)
+                        & (likeness > demod.SYNC_LIKENESS_MIN))
             is_up = (c < -0.97) & ~is_syncw
             re_anchor = is_up & (~found) & (~hit) & (dist > 3)
             ref = jnp.where(re_anchor, b, ref)
@@ -336,28 +358,51 @@ class DenseReceiver:
             if cfg.disable_drift_correction:
                 dstep = jnp.int32(0)
             p_next = p + sps + fine + dstep
+            ys = (word,)
+            if cfg.implicit:
+                # implicit end-of-frame is energy-based (reference
+                # :861-864); evaluated on the drift-corrected windows
+                ys = ys + (jnp.sum(
+                    jnp.real(w) ** 2 + jnp.imag(w) ** 2
+                ).astype(jnp.float32),)
             if collect:
                 # the gradient demod's internal view: bin-averaged ifreq
                 ifr = instantaneous_frequency(w, xp=jnp)
                 avg = ifr[: self.n_bins * self.decim].reshape(
                     self.n_bins, self.decim
                 ).sum(axis=-1) / self.decim
-                return (p_next, acc), (word, b_full, fine, p, avg)
-            return (p_next, acc), word
+                ys = ys + (b_full, fine, p, avg)
+            return (p_next, acc), ys
 
         _, dm_ys = jax.lax.scan(
             dm_step, (p_data.astype(jnp.int32), jnp.float32(0.0)),
             jnp.arange(8 + self.S),
         )  # [8+S]
-        words = dm_ys[0] if collect else dm_ys
-        out = self._finish_decode(words, sfd_ok) + (cfo,)
+        words = dm_ys[0]
+        if cfg.implicit:
+            # energy-stop end-of-frame: threshold is half the preamble
+            # upchirp window's energy (reference :356-357,861-864) —
+            # the gradient engine's equivalent of the fft path's
+            # static-grid stop, here on the fine-sync-tracked windows
+            pre = win(i0.astype(jnp.int32), sps)
+            thr = jnp.sum(jnp.real(pre) ** 2 + jnp.imag(pre) ** 2) / 2.0
+            e_sym = dm_ys[1]  # [8+S]
+            below = e_sym < thr
+            ended = below.any()
+            nsym = 8 + self.S
+            n_data = jnp.where(ended, jnp.argmax(below), nsym).astype(jnp.int32)
+            out = self._finish_decode_implicit(
+                words, sfd_ok & ended, n_data
+            ) + (cfo,)
+        else:
+            out = self._finish_decode(words, sfd_ok) + (cfo,)
         if collect:
-            words_, bins_, fines_, pos_, avg_ = dm_ys
+            bins_, fines_, pos_, avg_ = dm_ys[-4:]
             extras = dict(
                 i0=i0.astype(jnp.int32), frac_cfo=frac_cfo, coarse_cfo=coarse,
                 cfo=cfo, sfd_corr=sfd_ys[0], sfd_pos=sfd_ys[1],
                 p_found=p_found, fails=fails, sfd_ok=sfd_ok, p_data=p_data,
-                words=words_, bins=bins_, fine_syncs=fines_,
+                words=words, bins=bins_, fine_syncs=fines_,
                 window_pos=pos_, spectra=avg_,
             )
             return out + (extras,)
@@ -432,7 +477,11 @@ class DenseReceiver:
             )(sfd_wins)
         rel = (sbins - sbins[0]) % self.n_bins
         dist = jnp.minimum(rel, self.n_bins - rel)
-        sync_like = dist > 3
+        # signal-evidence gate (see the gradient walk / upchirp_likeness):
+        # fft bins read gradient+1, so the likeness lag uses sbins-1
+        likeness = demod.upchirp_likeness(
+            sfd_wins, sbins - 1, self._up_ifreq_v, sps, self.decim, xp=jnp)
+        sync_like = (dist > 3) & (likeness > demod.SYNC_LIKENESS_MIN)
         recognised = sync_like & (jnp.cumsum(sync_like) <= 2)
         before = jnp.arange(self.F) < first
         fails = jnp.sum(before & ~(cs < -0.97) & ~hit & ~recognised)
@@ -453,36 +502,40 @@ class DenseReceiver:
 
         # --- batched demod: 8 header + S payload symbols, one FFT batch ---
         nsym = 8 + self.S
+        wins = win(p_data, nsym * sps).reshape(nsym, sps)
         if self.fft_drift_pass:
-            # pass 1: fractional tone positions of the first symbols (the
-            # 8 header symbols always exist; a minimal packet has >= 13
-            # data symbols, so the median over 15 diffs tolerates a few
-            # past-end noise reads)
-            n_est = min(16, nsym)
-            wins0 = win(p_data, n_est * sps).reshape(n_est, sps)
-            _, frac = demod.fft_shift_frac(
-                wins0, self._down, self.n_bins, sps, xp=jnp,
+            # Single-pass drift correction in tone-position space (round
+            # 4; replaces the earlier re-read-at-corrected-offset second
+            # pass). A window late by ``l`` samples reads its dechirped
+            # tone ``l/decim`` bins high, so correcting the *continuous*
+            # tone position (bin + parabolic fraction) by the estimated
+            # lateness in bins is equivalent to re-reading the window —
+            # without the per-symbol gather, and without the
+            # round-to-sample quantization (which at small decim is a
+            # half-bin error by itself). Slip estimate: the fractional
+            # tone position is data-independent, so its symbol-to-symbol
+            # slope is the slip; estimated over the first 13 symbols
+            # (the minimum explicit packet: 8 header + cr=1 block of 5 —
+            # all guaranteed in-packet) and median-filtered. Lateness is
+            # anchored at the sync point: the SFD walk span plus the
+            # blind 2.25-symbol consume accumulate slip before the first
+            # data symbol does (the handoff the gradient engine's drift
+            # feed-forward covers). The clamp bounds a corrupted
+            # estimate's damage to the equivalent of ~73 ppm at SF12.
+            b_raw, frac = demod.fft_shift_frac(
+                wins, self._down, self.n_bins, sps, xp=jnp,
                 fold_mat=self._fold_mat,
             )
-            d = frac[1:] - frac[:-1]
+            n_est = min(13, nsym)
+            d = frac[1:n_est] - frac[: n_est - 1]
             d = (d + 0.5) % 1.0 - 0.5
-            slip = jnp.median(d) * self.decim  # samples / symbol, + = late
-            # pass 2: re-read each symbol at its drift-corrected offset.
-            # Anchor at the sync point: alignment was measured at i0
-            # (preamble time), so by data symbol k the static grid is
-            # late by (first + 2.25 + k) * slip samples — the SFD walk
-            # span plus the blind 2.25-symbol consume accumulate slip
-            # before the first data symbol does (the same handoff the
-            # gradient engine's drift feed-forward covers).
+            slip = jnp.clip(jnp.median(d), -0.3, 0.3)  # bins / symbol
             lateness = (first.astype(jnp.float32) + 2.25
                         + jnp.arange(nsym, dtype=jnp.float32)) * slip
-            offs = -jnp.round(lateness).astype(jnp.int32)
-            wins = jax.vmap(
-                lambda k, o: win(p_data + k * sps + o, sps)
-            )(jnp.arange(nsym), offs)
-        else:
-            wins = win(p_data, nsym * sps).reshape(nsym, sps)
-        if self._fold_mat is not None:
+            b_full = jnp.round(
+                b_raw.astype(jnp.float32) + frac - lateness
+            ).astype(jnp.int32) % self.n_bins
+        elif self._fold_mat is not None:
             b_full = demod.fft_shift_idx_mm(wins, self._fold_mat, xp=jnp)
         else:
             b_full = jax.vmap(
@@ -617,6 +670,8 @@ class DenseReceiver:
         paylen = length + MAC_CRC_SIZE * has_crc
         budget = dec.payload_symbol_budget(paylen, cr, cfg.sf, cfg.reduced_rate, xp=jnp)
         hdr_ok = (budget <= self.S) & (cr >= 1) & (paylen <= MAX_PAYLOAD)
+        if self.header_checksum:
+            hdr_ok = hdr_ok & dec.header_checksum_valid(hdr_bytes, xp=jnp)
 
         # --- payload deinterleave: one bit-gather via the per-CR tables ---
         ppm_pay = cfg.sf - 2 if cfg.reduced_rate else cfg.sf

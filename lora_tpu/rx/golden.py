@@ -298,8 +298,12 @@ class GoldenReceiver:
                     # filter's edge transient skewing SYNC on implicit
                     # traces). Capped at 2 the walk loses at most 2
                     # windows to misrecognition.
+                    likeness = float(demod.upchirp_likeness(
+                        window[:sps], np.int64(b), self.upchirp_ifreq_v,
+                        sps, self.decim))
                     recognised = (dist > 3 and self.sync_run < 2
-                                  and self.sync_streak >= 2)
+                                  and self.sync_streak >= 2
+                                  and likeness > demod.SYNC_LIKENESS_MIN)
                     if recognised:
                         self.sync_run += 1
                     elif c < -0.97:
@@ -327,6 +331,16 @@ class GoldenReceiver:
                         self.debug.sfd_walk.append((p, c, b, dist, dec))
                     if self.corr_fails > 4:
                         self.state = DecoderState.DETECT
+                # DELIBERATE golden-vs-dense divergence: the reference
+                # consumes sps + d_fine_sync on EVERY FIND_SFD window with
+                # d_fine_sync persisting from the last upchirp
+                # (lib/decoder_impl.cc:816,300-338) — so recognised
+                # sync-word and fail windows advance with the stale
+                # correction here, while the dense/jax engines advance
+                # those windows with fine=0. The divergence is at most
+                # decim/2 per non-upchirp window (inside every alignment
+                # tolerance); golden keeps the reference semantics because
+                # its job is the 1:1 state-machine mirror.
                 p += sps + self.fine_sync
 
             elif self.state is DecoderState.PAUSE:

@@ -340,8 +340,13 @@ class JaxReceiver:
                 streak0 = jnp.where(first, 1, st.sync_streak)
                 rel = (b - ref) % self.n_bins
                 dist = jnp.minimum(rel, self.n_bins - rel)
+                # signal-evidence gate: see demod.upchirp_likeness (noise
+                # windows must keep spending correlation-fail budget)
+                likeness = demod.upchirp_likeness(
+                    w2[:sps], b, self._up_ifreq_v, sps, self.decim, xp=jnp)
                 is_syncw = ((~found) & (dist > 3) & (st.sync_run < 2)
-                            & (streak0 >= 2))
+                            & (streak0 >= 2)
+                            & (likeness > demod.SYNC_LIKENESS_MIN))
                 is_up = (c < -0.97) & ~is_syncw
                 re_anchor = is_up & (dist > 3)
                 ref = jnp.where(re_anchor, b, ref)

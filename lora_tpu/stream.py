@@ -64,7 +64,7 @@ class StreamingReceiver:
         self._pending: List[tuple] = []  # (device result, abs offset)
         self._abs = 0  # absolute sample index of current buffer head
         self._frames: List[Frame] = []
-        self._emitted_starts: List[tuple] = []  # recent (abs start, payload)
+        self._emitted_starts: List[tuple] = []  # recent (abs start, payload, frame)
         # two decodable packets cannot start closer than preamble+header
         # (~20 symbols); a seam-clipped rising edge shifts the reported
         # start by at most a couple of windows — 16 symbols separates the
@@ -76,6 +76,10 @@ class StreamingReceiver:
         # that was not a re-detection of the same packet
         self.n_dedup_suppressed = 0
         self.n_dedup_conflicts = 0
+        # conflicts resolved in favour of the later decode: the blocker
+        # was seam-clipped and failed the MAC CRC while the later clean
+        # decode passed it — the clean frame replaces the corrupted one
+        self.n_dedup_replaced = 0
         self._eof = False
 
         self._ring = None
@@ -188,6 +192,19 @@ class StreamingReceiver:
                 # block boundary re-detects in the next block at a slightly
                 # different start — suppress near-duplicates (first block,
                 # which saw the unclipped preamble, wins)
+                from .io.frames import PhyHeader
+
+                def make_frame():
+                    return Frame(
+                        phy_header=PhyHeader.from_bytes(
+                            bytes(np.asarray(r.hdr)[0, k])),
+                        payload=payload,
+                        snr=float(np.asarray(r.snr)[0, k]),
+                        channel=0,
+                        sample_index=abs_start,
+                        cfo=float(np.asarray(r.cfo)[0, k]),
+                    )
+
                 blocker = next(
                     (s for s in self._emitted_starts
                      if abs(abs_start - s[0]) < self._dedup_distance), None,
@@ -196,20 +213,33 @@ class StreamingReceiver:
                     self.n_dedup_suppressed += 1
                     if blocker[1] != payload:
                         self.n_dedup_conflicts += 1
+                        # Conflict resolution: a seam-clipped first
+                        # detection can decode corrupted bytes; if the
+                        # later clean decode passes the MAC CRC and the
+                        # blocker's did not, prefer the clean frame —
+                        # retract the corrupted one if still uncollected
+                        # (sinks that already saw it receive the
+                        # replacement as a corrected frame).
+                        f_new = make_frame()
+                        f_old = blocker[2]
+                        if f_new.crc_ok and f_old is not None \
+                                and f_old.crc_ok is False:
+                            self.n_dedup_replaced += 1
+                            try:
+                                self._frames.remove(f_old)
+                            except ValueError:
+                                pass  # already collected by the caller
+                            i = self._emitted_starts.index(blocker)
+                            self._emitted_starts[i] = (
+                                abs_start, payload, f_new)
+                            self._frames.append(f_new)
+                            for s in self.sinks:
+                                s.handle(f_new)
                     continue
-                self._emitted_starts.append((abs_start, payload))
+                f = make_frame()
+                self._emitted_starts.append((abs_start, payload, f))
                 if len(self._emitted_starts) > 64:
                     del self._emitted_starts[:32]
-                from .io.frames import PhyHeader
-
-                f = Frame(
-                    phy_header=PhyHeader.from_bytes(bytes(np.asarray(r.hdr)[0, k])),
-                    payload=payload,
-                    snr=float(np.asarray(r.snr)[0, k]),
-                    channel=0,
-                    sample_index=abs_start,
-                    cfo=float(np.asarray(r.cfo)[0, k]),
-                )
                 self._frames.append(f)
                 for s in self.sinks:
                     s.handle(f)
@@ -267,11 +297,12 @@ class WidebandStreamingReceiver:
         self._pending: List[tuple] = []
         self._abs = 0
         self._frames: List[Frame] = []
-        self._emitted: dict = {}  # channel -> recent (abs start, payload)
+        self._emitted: dict = {}  # channel -> recent (abs start, payload, frame)
         self._dedup_distance = 16 * sps
-        # dedup observability (see StreamingReceiver)
+        # dedup observability + conflict resolution (see StreamingReceiver)
         self.n_dedup_suppressed = 0
         self.n_dedup_conflicts = 0
+        self.n_dedup_replaced = 0
         self._buf = np.zeros(0, np.complex64)
 
     def push(self, samples) -> List[Frame]:
@@ -331,6 +362,22 @@ class WidebandStreamingReceiver:
                 payload = bytes(
                     np.asarray(r.payload)[sel][: np.asarray(r.length)[sel]]
                 )
+                def make_frame():
+                    f = Frame(
+                        phy_header=PhyHeader.from_bytes(
+                            bytes(np.asarray(r.hdr)[sel])),
+                        payload=payload,
+                        snr=float(np.asarray(r.snr)[sel]),
+                        channel=chan,
+                        sample_index=abs_start,
+                        cfo=float(np.asarray(r.cfo)[sel]),
+                    )
+                    f.tap_header.frequency = int(
+                        abs(self.wb.channel_freqs[chan]))
+                    f.tap_header.sf = self.wb.cfg.sf
+                    f.tap_header.sync_word = self.wb.cfg.sync_word
+                    return f
+
                 seen = self._emitted.setdefault(chan, [])
                 blocker = next(
                     (s for s in seen
@@ -340,21 +387,27 @@ class WidebandStreamingReceiver:
                     self.n_dedup_suppressed += 1
                     if blocker[1] != payload:
                         self.n_dedup_conflicts += 1
+                        # CRC-preferenced conflict resolution (see
+                        # StreamingReceiver._drain)
+                        f_new = make_frame()
+                        f_old = blocker[2]
+                        if f_new.crc_ok and f_old is not None \
+                                and f_old.crc_ok is False:
+                            self.n_dedup_replaced += 1
+                            try:
+                                self._frames.remove(f_old)
+                            except ValueError:
+                                pass
+                            seen[seen.index(blocker)] = (
+                                abs_start, payload, f_new)
+                            self._frames.append(f_new)
+                            for s in self.sinks:
+                                s.handle(f_new)
                     continue
-                seen.append((abs_start, payload))
+                f = make_frame()
+                seen.append((abs_start, payload, f))
                 if len(seen) > 64:
                     del seen[:32]
-                f = Frame(
-                    phy_header=PhyHeader.from_bytes(bytes(np.asarray(r.hdr)[sel])),
-                    payload=payload,
-                    snr=float(np.asarray(r.snr)[sel]),
-                    channel=chan,
-                    sample_index=abs_start,
-                    cfo=float(np.asarray(r.cfo)[sel]),
-                )
-                f.tap_header.frequency = int(abs(self.wb.channel_freqs[chan]))
-                f.tap_header.sf = self.wb.cfg.sf
-                f.tap_header.sync_word = self.wb.cfg.sync_word
                 self._frames.append(f)
                 for s in self.sinks:
                     s.handle(f)

@@ -40,14 +40,30 @@ def test_fft_drift_pass_tracks_30ppm_sf12(ppm):
 
 
 def test_fft_without_drift_pass_fails_30ppm_sf12():
-    # documents WHY the option exists: the static grid alone cannot track
-    # crystal-tolerance drift at high SF
+    # documents WHY the correction exists: the static grid alone cannot
+    # track crystal-tolerance drift at high SF (explicit opt-out)
     cfg = LoRaConfig(sf=12, cr=4, samp_rate=250e3, crc=True, reduced_rate=True)
     stream = _stream(cfg, 30.0)
     rx = DenseReceiver(cfg, max_candidates=4, max_symbols=48,
-                       demod_method="fft")
+                       demod_method="fft", fft_drift_pass=False)
     frames = rx.run(stream)
     assert not any(f.mac_payload == PAYLOAD for f in frames)
+
+
+def test_fft_drift_auto_policy():
+    """Round 4: the drift correction is ON by default exactly where the
+    grid's tolerance is outrun (SF >= 11; the slip/tolerance ratio
+    ``2*nsym*n_bins*ppm`` is decim-independent — see DenseReceiver)."""
+    hi = LoRaConfig(sf=12, cr=4, samp_rate=250e3, crc=True, reduced_rate=True)
+    lo = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
+    assert DenseReceiver(hi, demod_method="fft").fft_drift_pass
+    assert not DenseReceiver(lo, demod_method="fft").fft_drift_pass
+    # auto-on decodes a 30 ppm SF12 packet with no user flag
+    stream = _stream(hi, 30.0)
+    rx = DenseReceiver(hi, max_candidates=4, max_symbols=48,
+                       demod_method="fft")
+    frames = rx.run(stream)
+    assert len(frames) == 1 and frames[0].mac_payload == PAYLOAD
 
 
 def test_fft_drift_pass_clean_signal_unchanged():

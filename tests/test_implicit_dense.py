@@ -48,7 +48,27 @@ def test_implicit_dense_sf6():
     assert frames[0].payload[:2] == b"\x42\x99"
 
 
-def test_implicit_gradient_rejected():
+@pytest.mark.parametrize("cr", [4, 1])
+def test_implicit_gradient(cr):
+    """The gradient engine decodes implicit frames too (round 4): the
+    energy-stop runs on its fine-sync-tracked windows (reference
+    lib/decoder_impl.cc:861-866 operates identically in both demod
+    methods)."""
+    cfg = LoRaConfig(sf=7, cr=cr, samp_rate=250e3, crc=False, implicit=True)
+    sps = cfg.samples_per_symbol
+    payload = b"\xca\xfe\x01\x02"
+    pkt = modulate_frame(cfg, payload, pad_before=4 * sps, pad_after=8 * sps,
+                         snr_db=40.0)
+    rx = DenseReceiver(cfg, max_candidates=2, max_symbols=24, sfd_search=12,
+                       demod_method="gradient")
+    frames = rx.run(pkt)
+    assert len(frames) == 1
+    f = frames[0]
+    assert f.payload[: len(payload)] == payload, f.payload.hex()
+    assert all(b == 0 for b in f.payload[len(payload):])
+
+
+def test_implicit_auto_routes_fft():
+    """``auto`` still selects the fft engine for implicit configs."""
     cfg = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=False, implicit=True)
-    with pytest.raises(ValueError):
-        DenseReceiver(cfg, demod_method="gradient")
+    assert DenseReceiver(cfg).method == "fft"
