@@ -34,6 +34,8 @@ def main_wideband(n_channels: int = 1024):
     from lora_tpu.tx.modulator import modulate_frame
     from lora_tpu.ops.xfer import pack_iq
 
+    import jax.numpy as jnp
+
     M = n_channels
     cfg = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
     wide_rate = M * cfg.samp_rate
@@ -53,8 +55,12 @@ def main_wideband(n_channels: int = 1024):
             pkt * np.exp(2j * np.pi * freqs[c] / wide_rate * (tpk + pos))
         ).astype(np.complex64)
     xd = jax.device_put(pack_iq(x))
+    del x
+    # bf16 channel planes between the Pallas PFB and the dense stage:
+    # the validated halved-bandwidth regime (decode_ratio gates it below)
     wr = WidebandReceiver(cfg, M, pool=2 * len(active), max_candidates=2,
-                          max_symbols=24, sfd_search=12, demod_method="fft")
+                          max_symbols=24, sfd_search=12, demod_method="fft",
+                          plane_dtype=jnp.bfloat16)
     res = wr.process(xd)
     v = np.asarray(jax.device_get(res.valid))
     pay = np.asarray(jax.device_get(res.payload))
@@ -81,6 +87,7 @@ def main_wideband(n_channels: int = 1024):
         "value": round(msps, 1),
         "unit": "Msamples/s/chip",
         "vs_baseline": round(msps / 1.0, 1),
+        "decode_ratio": round(len(good) / len(active), 3),
     }))
 
 
@@ -237,4 +244,5 @@ if __name__ == "__main__":
         # finish on a cold cache / contended chip (the r1/r2 failure mode)
         _subprocess_stage(["--wideband", "256"], 420.0)
         _subprocess_stage(["--wideband", "1024"], 540.0)
+        _subprocess_stage(["--wideband", "4096"], 540.0)
         main()

@@ -161,6 +161,7 @@ class PolyphaseChannelizer:
         padded[:ntaps] = taps
         # polyphase decomposition: h_p[j] = h[j*M + p]
         self.h_poly = padded.reshape(self.K, self.M)  # host constant
+        self._dft_cache = {}  # dtype -> (cos, sin) [M, M] planes
 
     @classmethod
     def for_lora(cls, samp_rate: float, num_channels: int, bandwidth: float = 125e3):
@@ -200,6 +201,152 @@ class PolyphaseChannelizer:
         # prototype's DC gain is spread over the M branches).
         chans = jnp.fft.fft(filtered, axis=-1)
         return jnp.swapaxes(chans, 0, 1).astype(jnp.complex64)
+
+
+    # -- packed-plane fast path (TPU hot pipeline) ---------------------
+    def _dft_planes(self, dtype):
+        """Cached ``[M, M]`` real/imag planes of ``exp(-2j pi c m / M)``
+        (f64-built) — the branch-recombination DFT as an MXU matmul."""
+        key = np.dtype(dtype).name
+        if key not in self._dft_cache:
+            c = np.arange(self.M, dtype=np.float64)
+            # wrap the product index to keep the cos/sin argument small
+            # (c*m up to M^2 ~ 1e8 would cost f64 ulps)
+            ph = -2.0 * np.pi * ((np.outer(c, c) % self.M) / self.M)
+            # cache HOST arrays (ml_dtypes handles bf16): a cached jnp
+            # array created inside one jit trace would leak a tracer
+            # into the next
+            self._dft_cache[key] = (
+                np.cos(ph).astype(dtype),
+                np.sin(ph).astype(dtype),
+            )
+        return self._dft_cache[key]
+
+    def _dft2_planes(self, M1: int, M2: int, dtype):
+        """Constants for the two-stage (Cooley-Tukey) DFT matmul:
+        ``(D1 cos/sin [M1, M1], twiddle cos/sin [M1, M2],
+        D2 cos/sin [M2, M2])``, all f64-built host arrays."""
+        key = (M1, M2, np.dtype(dtype).name)
+        if key not in self._dft_cache:
+            def dmat(n):
+                c = np.arange(n, dtype=np.float64)
+                ph = -2.0 * np.pi * ((np.outer(c, c) % n) / n)
+                return np.cos(ph).astype(dtype), np.sin(ph).astype(dtype)
+
+            k1 = np.arange(M1, dtype=np.float64)[:, None]
+            n2 = np.arange(M2, dtype=np.float64)[None, :]
+            ph = -2.0 * np.pi * ((k1 * n2) % self.M) / self.M
+            self._dft_cache[key] = (
+                dmat(M1),
+                (np.cos(ph).astype(dtype), np.sin(ph).astype(dtype)),
+                dmat(M2),
+            )
+        return self._dft_cache[key]
+
+    @staticmethod
+    def _two_stage_split(M: int, cap: int):
+        """Largest factor pair ``M1 * M2 = M`` with both <= ``cap`` and
+        both >= 8 (MXU-worthy), M1 >= M2; None if M doesn't factor."""
+        best = None
+        for M2 in range(8, int(np.sqrt(M)) + 1):
+            if M % M2 == 0 and M2 <= cap and M // M2 <= cap:
+                best = (M // M2, M2)
+        return best
+
+    def planes(self, xf, out_dtype=jnp.float32, max_dft_matmul: int = 2048):
+        """Packed wideband IQ planes ``[2, L]`` -> channel planes
+        ``[M, 2, n_out]`` — the whole channelizer without ever
+        materialising complex64 or a separate transpose pass.
+
+        FIR: the single-pass Pallas polyphase kernel on TPU
+        (:func:`lora_tpu.ops.pallas_kernels.pfb_fir_pallas`; jnp
+        shifted-slice fallback elsewhere). Recombination: for ``M <=
+        max_dft_matmul`` the M-point DFT is four ``[n_out, M] @ [M, M]``
+        MXU matmuls whose output is *already channel-major* (the
+        contraction writes ``[c, o]``), replacing FFT + transpose +
+        plane-stack; above that, batched FFT + transpose (the matmul's
+        ``L*M`` MAC cost grows linearly in M at fixed L).
+
+        ``out_dtype=jnp.bfloat16`` halves every downstream HBM pass
+        (detection kernel and Phase B gathers accept bf16 planes);
+        the ~40 dB bf16 quantization floor matches the validated packed
+        bf16 input path (ops/xfer.pack_iq).
+        """
+        M, K = self.M, self.K
+        filtered = None
+        compute_dtype = (jnp.bfloat16 if out_dtype == jnp.bfloat16
+                         else jnp.float32)
+        if jax is not None and jax.default_backend() == "tpu":
+            from .ops.pallas_kernels import pfb_fir_pallas
+
+            filtered = pfb_fir_pallas(xf, self.h_poly,
+                                      out_dtype=compute_dtype)
+        if filtered is None:
+            n_vec = xf.shape[-1] // M
+            x3 = xf[..., : n_vec * M].reshape(2, n_vec, M)
+            n_out = n_vec - K + 1
+            acc = jnp.zeros((2, n_out, M), jnp.float32)
+            for j in range(K):
+                acc = acc + self.h_poly[j][None, None, :] * \
+                    jax.lax.dynamic_slice_in_dim(x3, j, n_out, axis=1)
+            filtered = acc.astype(compute_dtype)
+        fr, fi = filtered[0], filtered[1]  # [n_out, M]
+        if M <= max_dft_matmul:
+            cr, si = self._dft_planes(compute_dtype)
+            prec = (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
+
+            def mm(a, b):
+                return jnp.einsum("om,cm->co", a, b, precision=prec,
+                                  preferred_element_type=jnp.float32)
+
+            out_r = mm(fr, cr) - mm(fi, si)
+            out_i = mm(fr, si) + mm(fi, cr)
+            return jnp.stack([out_r, out_i], axis=1).astype(out_dtype)
+        split = self._two_stage_split(M, max_dft_matmul)
+        if split is not None:
+            # Cooley-Tukey two-stage matmul DFT: the single-stage
+            # matmul's MAC count grows as L*M, the two-stage as
+            # L*(M1+M2) — at M=4096 a 32x FLOP cut for two extra
+            # elementwise passes. Decomposition: n = M2*n1 + n2,
+            # k = M1*k2 + k1; inner M1-DFT over n1, twiddle
+            # W_M^(k1*n2), outer M2-DFT over n2. The outer einsum
+            # writes [k2, k1, o] = channel-major directly.
+            M1, M2 = split
+            (d1r, d1i), (twr, twi), (d2r, d2i) = self._dft2_planes(
+                M1, M2, compute_dtype)
+            prec = (jax.lax.Precision.DEFAULT
+                    if compute_dtype == jnp.bfloat16
+                    else jax.lax.Precision.HIGHEST)
+            xr = fr.reshape(-1, M1, M2)
+            xi = fi.reshape(-1, M1, M2)
+
+            def mm1(d, x):
+                return jnp.einsum("kn,onm->okm", jnp.asarray(d), x,
+                                  precision=prec,
+                                  preferred_element_type=jnp.float32)
+
+            ar = mm1(d1r, xr) - mm1(d1i, xi)
+            ai = mm1(d1r, xi) + mm1(d1i, xr)
+            twr_, twi_ = (jnp.asarray(twr, jnp.float32),
+                          jnp.asarray(twi, jnp.float32))
+            br = (ar * twr_ - ai * twi_).astype(compute_dtype)
+            bi = (ar * twi_ + ai * twr_).astype(compute_dtype)
+
+            def mm2(x, d):
+                return jnp.einsum("okn,cn->cko", x, jnp.asarray(d),
+                                  precision=prec,
+                                  preferred_element_type=jnp.float32)
+
+            out_r = (mm2(br, d2r) - mm2(bi, d2i)).reshape(M, -1)
+            out_i = (mm2(br, d2i) + mm2(bi, d2r)).reshape(M, -1)
+            return jnp.stack([out_r, out_i], axis=1).astype(out_dtype)
+        x = jax.lax.complex(fr.astype(jnp.float32), fi.astype(jnp.float32))
+        chans = jnp.fft.fft(x, axis=-1)  # [n_out, M]
+        chans = jnp.swapaxes(chans, 0, 1)
+        return jnp.stack(
+            [jnp.real(chans), jnp.imag(chans)], axis=1
+        ).astype(out_dtype)
 
 
 def pfb_channel_freqs(samp_rate: float, num_channels: int) -> np.ndarray:

@@ -275,6 +275,69 @@ def fft_shift_frac(windows, downchirp, n_bins: int, sps: int, xp=np,
     return _parab_frac(m, xp=xp)
 
 
+def upchirp_sync_grad(windows2, upchirp_ifreq, sps: int, n_bins: int,
+                      decim: int, xp=np):
+    """CFO-invariant fast upchirp alignment for the GRADIENT engine.
+
+    Same contract as :func:`upchirp_sync_xcorr` (``windows2``
+    ``[..., 2*sps]`` inside a run of repeated upchirps) at
+    O(sps + decim*sps) instead of the O(sps^2) sliding search — but
+    unlike the dechirp-tone syncs (:func:`upchirp_sync_parab` /
+    :func:`upchirp_sync_coarse_fine`), the coarse estimate is the ifreq
+    WRAP position (via :func:`max_frequency_gradient_idx`), which a
+    carrier offset cannot move (CFO adds a constant to the ifreq). This
+    matters for pairing: a dechirp sync absorbs integer-bin CFO into
+    timing, which the fft demod self-consistently cancels but the
+    gradient demod — itself CFO-invariant — turns into a uniform bin
+    error on every symbol. Gradient demod therefore needs a
+    timing-true sync.
+
+    A window whose wrap sits within half a bin of the window edge reads
+    an unreliable gradient (the demod's tail trim), so the wrap is read
+    from both the leading window and a half-symbol-shifted one — their
+    boundaries differ by exactly ``sps/2``, and the estimate whose wrap
+    bin is more central wins. A ±2*decim ifreq cross-correlation then
+    recovers the exact offset the full search would have found.
+    """
+    w_a = windows2[..., :sps]
+    w_b = windows2[..., sps // 2 : sps // 2 + sps]
+    b_a = max_frequency_gradient_idx(w_a, n_bins, decim, xp=xp)
+    b_b = max_frequency_gradient_idx(w_b, n_bins, decim, xp=xp)
+    d_a = (sps - (b_a + 1) * decim) % sps
+    d_b = (sps - (b_b + 1) * decim + sps // 2) % sps
+    cent_a = xp.minimum(b_a + 1, n_bins - 1 - b_a)
+    cent_b = xp.minimum(b_b + 1, n_bins - 1 - b_b)
+    d0 = xp.where(cent_a >= cent_b, d_a, d_b).astype("int32")
+
+    span = 4 * decim + 1
+    ref = xp.asarray(np.asarray(upchirp_ifreq[: sps - 1]))
+    ifr = instantaneous_frequency(windows2, xp=xp)  # [..., 2*sps]
+    base0 = xp.clip(d0 - 2 * decim, 0, 2 * sps - (span + sps - 2))
+    if xp is np:
+        base0 = np.atleast_1d(base0)
+        ifr2 = ifr.reshape((-1, ifr.shape[-1]))
+        outs = []
+        for row, bs in zip(ifr2, base0.reshape(-1)):
+            seg = row[bs : bs + span + sps - 2]
+            wins = np.lib.stride_tricks.sliding_window_view(seg, sps - 1)[:span]
+            outs.append(bs + np.argmax(wins @ ref))
+        idx = np.asarray(outs, dtype=np.int32).reshape(b_a.shape)
+        return idx, None
+    flat = ifr.reshape((-1, ifr.shape[-1]))
+    bflat = jnp.asarray(base0).reshape(-1)
+    seg_len = span + sps - 2
+    segs = jax.vmap(
+        lambda row, bs: jax.lax.dynamic_slice(row, (bs,), (seg_len,))
+    )(flat, bflat)
+    rows = jnp.stack(
+        [jax.lax.slice_in_dim(segs, l, l + sps - 1, axis=-1)
+         for l in range(span)], axis=1,
+    )
+    c = rows @ ref.astype(segs.dtype)
+    idx = (bflat + jnp.argmax(c, axis=-1)).astype(jnp.int32).reshape(b_a.shape)
+    return idx, None
+
+
 def upchirp_sync_coarse_fine(windows2, downchirp, upchirp_ifreq, sps: int,
                              n_bins: int, decim: int, xp=np, fold_mat=None):
     """Fast upchirp alignment: dechirp-FFT coarse + small ifreq refine.
@@ -365,6 +428,52 @@ def downchirp_pearson(window, downchirp_ifreq, sps: int, xp=np):
     denom = sx * sy
     c = xp.where(denom > 0, num / xp.where(denom > 0, denom, 1.0), 0.0)
     return (c / n).astype("float32")
+
+
+def make_likeness_rows(upchirp_ifreq_tiled, sps: int, decim: int,
+                       n_bins: int):
+    """Precompute the centered/normalized reference rows of
+    :func:`upchirp_likeness` for every possible bin — turns the
+    per-window dynamic table slice into a one-hot MXU matmul (the
+    vmapped small-slice gather was a measured Phase B hotspot on TPU).
+
+    Returns ``(rows_c, inv_norm)``: ``[n_bins, sps-1]`` centered rows and
+    their inverse norms. Size gate lives with the caller (``n_bins *
+    sps`` floats — same budget class as the fold-DFT matrix).
+    """
+    n = sps - 1
+    t = np.asarray(upchirp_ifreq_tiled)
+    idx = ((np.arange(n_bins)[:, None] + 1) * decim + sps
+           + np.arange(n)[None, :])
+    rows = t[idx]
+    rows_c = rows - rows.mean(axis=-1, keepdims=True)
+    norm = np.sqrt((rows_c * rows_c).sum(axis=-1))
+    inv = np.where(norm > 0, 1.0 / np.where(norm > 0, norm, 1.0), 0.0)
+    return rows_c.astype(np.float32), inv.astype(np.float32)
+
+
+def upchirp_likeness_rows(window, bin_idx, rows, xp=np):
+    """:func:`upchirp_likeness` via precomputed rows (see
+    :func:`make_likeness_rows`). ``bin_idx`` int ``[...]`` selects each
+    window's reference row through a one-hot matmul — batched windows
+    cost one ``[B, n_bins] @ [n_bins, n]`` MXU contraction instead of B
+    serialized table gathers."""
+    rows_c, inv = rows
+    n_bins, n = rows_c.shape
+    ifr = instantaneous_frequency(window, xp=xp)[..., :n]
+    b = xp.asarray(bin_idx) % n_bins
+    if xp is np:
+        ref = rows_c[np.asarray(b)]
+        ref_inv = inv[np.asarray(b)]
+    else:
+        onehot = (b[..., None] == xp.arange(n_bins)).astype(xp.float32)
+        ref = onehot @ xp.asarray(rows_c)
+        ref_inv = onehot @ xp.asarray(inv)
+    x = ifr - xp.mean(ifr, axis=-1, keepdims=True)
+    num = xp.sum(x * ref, axis=-1)
+    xn = xp.sqrt(xp.sum(x * x, axis=-1))
+    c = xp.where(xn > 0, num * ref_inv / xp.where(xn > 0, xn, 1.0), 0.0)
+    return c.astype("float32")
 
 
 def upchirp_likeness(window, bin_idx, upchirp_ifreq_tiled, sps: int,

@@ -146,6 +146,102 @@ def _det_call_pp(xr, T: int, interpret: bool):
     return corr.reshape(C, K1), ener.reshape(C, K1)
 
 
+def _pfb_fir_kernel(x_ref, halo_ref, taps_ref, out_ref):
+    """Polyphase FIR along the frame axis of one plane tile.
+
+    ``x_ref``: ``[1, T, Mt]`` input rows; ``halo_ref``: ``[1, H, Mt]``
+    rows following the tile (H >= K-1, clamped at the array end);
+    ``taps_ref``: ``[K, Mt]`` per-branch taps. Output row ``t`` is
+    ``sum_j taps[j] * rows[t + j]`` — the K-tap sliding dot of every
+    polyphase branch, each input element read ONCE from HBM (the jnp
+    formulation re-reads the input K times; reference channelizer:
+    lib/channelizer_impl.cc:46-48, redesigned as a critically-sampled
+    PFB over all M channels)."""
+    K = taps_ref.shape[0]
+    x = x_ref[0].astype(jnp.float32)          # [T, Mt]
+    halo = halo_ref[0].astype(jnp.float32)    # [H, Mt]
+    T = x.shape[0]
+    rows = jnp.concatenate([x, halo[: K - 1]], axis=0)  # [T+K-1, Mt]
+    acc = jnp.zeros_like(x)
+    for j in range(K):
+        acc = acc + taps_ref[j, :][None, :] * rows[j : j + T]
+    out_ref[0] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _pfb_fir_call(x3, taps, T: int, out_dtype, interpret: bool):
+    P, n_vec, M = x3.shape  # P = 2 planes
+    K = taps.shape[0]
+    nb = n_vec // T  # blocks of output rows (callers trim the tail)
+    H = 16  # halo rows (>= K-1, multiple of the 8/16-row tiling)
+    grid = (P, nb)
+    kernel = pl.pallas_call(
+        _pfb_fir_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, T, M), lambda p, i: (p, i, 0),
+                         memory_space=pltpu.VMEM),
+            # following rows for the tile-crossing taps; block-index
+            # granularity H, clamped at the last block
+            pl.BlockSpec(
+                (1, H, M),
+                lambda p, i: (p, jnp.minimum((i + 1) * T // H,
+                                             n_vec // H - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((K, M), lambda p, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, M), lambda p, i: (p, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((P, nb * T, M), out_dtype),
+        interpret=interpret,
+    )
+    return kernel(x3, x3, taps)
+
+
+def pfb_fir_pallas(xf, h_poly, out_dtype=jnp.float32, interpret: bool = False):
+    """Polyphase-branch FIR over packed wideband planes.
+
+    ``xf``: packed IQ float32 ``[2, L]`` (L a multiple of ``M``), viewed
+    as ``[2, n_vec, M]`` without any copy; ``h_poly``: ``[K, M]`` branch
+    taps. Returns filtered planes ``[2, n_out, M]`` (``n_out = n_vec -
+    K + 1``) in ``out_dtype`` — bf16 halves the bandwidth of every
+    downstream pass (DFT matmul, detection, Phase B gathers).
+
+    Single HBM pass vs the jnp shifted-slice formulation's K reads; the
+    <= T-1 remainder rows past the largest T-multiple are computed with
+    the jnp math on a small tail slice. Falls back to ``None`` (caller
+    uses the jnp path) when the geometry doesn't tile (M not a lane
+    multiple or fewer than T output rows).
+    """
+    M = h_poly.shape[1]
+    K = h_poly.shape[0]
+    L = xf.shape[-1]
+    n_vec = L // M
+    n_out = n_vec - K + 1
+    if M % 128 != 0 or n_out < 16 or n_vec % 16 != 0:
+        return None
+    if K > 16:
+        return None  # halo block holds K-1 <= 15 following rows
+    x3 = xf[..., : n_vec * M].reshape(2, n_vec, M)
+    # VMEM budget: double-buffered [T, M] f32 in + [16, M] halo + out +
+    # ~3 temporaries
+    budget = 12 * 1024 * 1024
+    t_max = budget // (4 * M * 7)
+    for T in (512, 256, 128, 64, 32, 16):
+        if T <= t_max and n_vec % T == 0 and T % 16 == 0:
+            break
+    else:
+        return None
+    # the grid covers every input row; rows >= n_out read a clamped halo
+    # and are trimmed (their taps would need rows past the array) —
+    # valid rows only ever tap main-block + true following rows
+    taps = jnp.asarray(h_poly, jnp.float32)
+    full = _pfb_fir_call(x3, taps, T, out_dtype, interpret)  # [2, n_vec, M]
+    return full[:, :n_out]
+
+
 def detection_metrics_pallas(xf, sps: int, interpret: bool = False,
                              variant: str = "pp"):
     """Single-pass detection metrics on packed IQ ``[..., 2, L]``.

@@ -146,13 +146,16 @@ class DenseReceiver:
             fft_drift_pass = demod_method == "fft" and config.sf >= 11
         self.fft_drift_pass = bool(fft_drift_pass)
         # Gradient-engine Phase B sync selector. Default (None) = the
-        # fold-DFT parabolic boundary estimate (the fft engine's sync,
-        # 0.14 ms/event at SF12): its ±decim/2 alignment error sits
-        # inside the gradient demod's ±3-sample basin at the operating
-        # decimations, and the FIND_SFD walk's resync branch absorbs the
-        # residual — validated across the full 12-suite matrix (round 4,
-        # docs/test-results). ``fast_sync=False`` opts back into the
-        # reference-parity O(sps^2) sliding ifreq search
+        # CFO-invariant ifreq-wrap coarse + ±2*decim refine
+        # (demod.upchirp_sync_grad, O(sps) vs the O(sps^2) sliding
+        # search; ~0.14 ms/event at SF12): its residual sits inside the
+        # gradient demod's alignment basin, and the FIND_SFD walk's
+        # resync branch absorbs the rest — validated across the full
+        # 12-suite matrix (round 4, docs/test-results). NOTE the fft
+        # engine's dechirp-tone sync is NOT usable here: it absorbs
+        # integer-bin CFO into timing, which the CFO-blind gradient
+        # demod turns into a uniform bin error. ``fast_sync=False``
+        # opts back into the reference-parity sliding ifreq search
         # (upchirp_sync_xcorr) — 4.3 ms/event at SF12 and its sps-tap
         # convolution is the one slow-compiling op on the remote
         # toolchain (docs/perf/timings.md).
@@ -160,9 +163,11 @@ class DenseReceiver:
         # Opt-in rx PHY-header checksum verification (the reference stubs
         # this check, utilities.h:396-404; the tx here computes it). At
         # dense-scan scale — thousands of channels × noise-driven
-        # candidate lanes — the 5-bit check prunes ~97% of false frames
-        # (see docs/perf/false_frames.md). Off by default for parity with
-        # the reference (whose OTA traces *do* carry valid checksums, but
+        # candidate lanes — the 5-bit check structurally rejects 31/32
+        # of garbage headers and every single-bit header corruption
+        # (tests/test_header_checksum.py); measured noise-floor rates in
+        # docs/perf/false_frames.md. Off by default for parity with the
+        # reference (whose OTA traces *do* carry valid checksums, but
         # third-party captures may not).
         self.header_checksum = bool(header_checksum)
         self.sps = config.samples_per_symbol
@@ -190,6 +195,17 @@ class DenseReceiver:
         self._fold_up = (
             demod.make_fold_dft(up, self.sps, self.n_bins)
             if self._fold_mat is not None
+            else None
+        )
+        # precomputed sync-likeness rows: the static (fft) SFD block
+        # scores all F windows via one one-hot MXU matmul instead of F
+        # vmapped table slices per lane (a measured Phase B hotspot);
+        # the gradient walk keeps the per-window slice (its scan batches
+        # only the lanes). Same size budget as the fold matrix.
+        self._likeness_rows = (
+            demod.make_likeness_rows(self._up_ifreq_v, self.sps,
+                                     self.decim, self.n_bins)
+            if self.sps * self.n_bins <= 16 * 1024 * 1024
             else None
         )
 
@@ -248,12 +264,14 @@ class DenseReceiver:
 
         # --- SYNC: align to upchirp start (reference :770-783) ---
         if self.fast_sync:
-            # coarse dechirp boundary + small ifreq refine recovers the
-            # exact offset the sliding search would have found (and a
-            # sub-sample parabolic estimate when the fold matrix exists)
-            i0, _ = demod.upchirp_sync_coarse_fine(
-                win(0, 2 * sps), self._down, self._up_ifreq, sps,
-                self.n_bins, self.decim, xp=jnp, fold_mat=self._fold_mat)
+            # CFO-invariant ifreq-wrap coarse + small refine: the
+            # gradient demod is timing-sensitive but CFO-blind, so its
+            # sync must be timing-true — a dechirp-tone sync would fold
+            # integer-bin CFO into the alignment and shift every
+            # demodulated bin (see demod.upchirp_sync_grad)
+            i0, _ = demod.upchirp_sync_grad(
+                win(0, 2 * sps), self._up_ifreq, sps,
+                self.n_bins, self.decim, xp=jnp)
         else:
             i0, _ = demod.upchirp_sync_xcorr(
                 win(0, 2 * sps), self._up_ifreq, sps, xp=jnp)
@@ -479,8 +497,12 @@ class DenseReceiver:
         dist = jnp.minimum(rel, self.n_bins - rel)
         # signal-evidence gate (see the gradient walk / upchirp_likeness):
         # fft bins read gradient+1, so the likeness lag uses sbins-1
-        likeness = demod.upchirp_likeness(
-            sfd_wins, sbins - 1, self._up_ifreq_v, sps, self.decim, xp=jnp)
+        if self._likeness_rows is not None:
+            likeness = demod.upchirp_likeness_rows(
+                sfd_wins, sbins - 1, self._likeness_rows, xp=jnp)
+        else:
+            likeness = demod.upchirp_likeness(
+                sfd_wins, sbins - 1, self._up_ifreq_v, sps, self.decim, xp=jnp)
         sync_like = (dist > 3) & (likeness > demod.SYNC_LIKENESS_MIN)
         recognised = sync_like & (jnp.cumsum(sync_like) <= 2)
         before = jnp.arange(self.F) < first

@@ -193,6 +193,12 @@ def generate_suite(
     rng = np.random.default_rng(seed)
     implicit = "implicit" in suite
     conj = "conj" in suite and "implicit" not in suite
+    # ``*alt*`` -> frames synthesised by the INDEPENDENT second
+    # modulator (tx/altmod.py: phase-accumulator chirps, own encoder
+    # loops, own impairment code) — the tx/rx de-correlation suite. A
+    # correlated analog-convention bug between tx/modulator.py and the
+    # receivers would fail here.
+    alt = "alt" in suite
     if "drift" in suite and drift_ppm == 0.0:
         drift_ppm = 30.0
     sdr = "sdr" in suite
@@ -228,21 +234,33 @@ def generate_suite(
             trace_cfo = cfo_hz + ppm * 868.1
         chunks = []
         for t in range(times):
-            chunk = modulate_frame(
-                cfg, payload,
-                pad_before=int(rng.integers(2000, 4000)),
-                pad_after=sps,
-                snr_db=snr_db, cfo_hz=trace_cfo,
-                seed=int(rng.integers(0, 2**31)),
-            )
-            if trace_ppm:
-                from .channelizer import fractional_resampler
+            if alt:
+                from .tx.altmod import modulate_frame_alt
 
-                # receiver sampling a (1 + ppm)-fast transmitter clock:
-                # resample signal+noise by the clock ratio
-                chunk = fractional_resampler(
-                    chunk, 1.0 + trace_ppm * 1e-6
-                ).astype(np.complex64)
+                chunk = modulate_frame_alt(
+                    cfg, payload,
+                    pad_before=int(rng.integers(2000, 4000)),
+                    pad_after=sps,
+                    snr_db=snr_db, cfo_hz=trace_cfo,
+                    drift_ppm=trace_ppm,  # altmod's own resampler
+                    seed=int(rng.integers(0, 2**31)),
+                )
+            else:
+                chunk = modulate_frame(
+                    cfg, payload,
+                    pad_before=int(rng.integers(2000, 4000)),
+                    pad_after=sps,
+                    snr_db=snr_db, cfo_hz=trace_cfo,
+                    seed=int(rng.integers(0, 2**31)),
+                )
+                if trace_ppm:
+                    from .channelizer import fractional_resampler
+
+                    # receiver sampling a (1 + ppm)-fast transmitter
+                    # clock: resample signal+noise by the clock ratio
+                    chunk = fractional_resampler(
+                        chunk, 1.0 + trace_ppm * 1e-6
+                    ).astype(np.complex64)
             if sdr:
                 chunk = apply_sdr_impairments(chunk, rng)
             chunks.append(chunk)

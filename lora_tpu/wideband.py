@@ -47,6 +47,7 @@ class WidebandReceiver:
         num_channels: int,
         active_channels: Optional[Sequence[int]] = None,
         pool: Optional[int] = None,
+        plane_dtype=None,
         **dense_kwargs,
     ):
         self.cfg = chan_config
@@ -57,6 +58,12 @@ class WidebandReceiver:
         )
         self.rx = DenseReceiver(chan_config, **dense_kwargs)
         self.pool = pool
+        # dtype of the on-device channel planes between the PFB and the
+        # dense stage. bf16 halves the HBM traffic of the detection pass
+        # and every Phase B gather at a ~40 dB quantization floor (the
+        # validated packed-bf16 regime, ops/xfer.pack_iq); f32 is the
+        # parity default.
+        self.plane_dtype = jnp.float32 if plane_dtype is None else plane_dtype
         self.active = (
             np.arange(self.M)
             if active_channels is None
@@ -70,15 +77,13 @@ class WidebandReceiver:
             ``[n_active, P]`` (or PooledResult ``[pool]`` when ``pool``
             is set — the scaling mode for hundreds/thousands of
             channels)."""
-            x = xfer.unpack_iq(xf)
-            chans = self.pfb(x)  # [M, L//M - K + 1]
+            # single-pass Pallas polyphase FIR + DFT-matmul
+            # recombination, writing channel-major packed planes
+            # [M, 2, Lc] directly (no complex materialisation, no
+            # separate transpose pass) — see PolyphaseChannelizer.planes
+            cp = self.pfb.planes(xf, out_dtype=self.plane_dtype)
             if len(act) != self.M:
-                chans = chans[np.asarray(act), :]
-            # hand the dense stage packed planes: the PFB's output
-            # transpose writes [M, 2, Lc] instead of complex [M, Lc]
-            # (same bytes), and detection then runs the single-pass
-            # Pallas kernel instead of the XLA complex path
-            cp = jnp.stack([jnp.real(chans), jnp.imag(chans)], axis=-2)
+                cp = cp[np.asarray(act)]
             if self.pool is not None:
                 return self.rx.process_pooled_planes(cp, self.pool)
             return self.rx.process_planes(cp)

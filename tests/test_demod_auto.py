@@ -33,8 +33,9 @@ def test_auto_resolves_by_decim():
 def test_auto_resolves_fft_for_implicit():
     cfg = LoRaConfig(sf=7, cr=4, samp_rate=1e6, crc=False, implicit=True)
     assert DenseReceiver(cfg).method == "fft"
-    with pytest.raises(ValueError):
-        DenseReceiver(cfg, demod_method="gradient")
+    # round 4: an explicit gradient request is honored in implicit mode
+    # (energy-stop on the fine-sync-tracked windows)
+    assert DenseReceiver(cfg, demod_method="gradient").method == "gradient"
 
 
 @pytest.mark.parametrize("seed", [1, 7])

@@ -53,8 +53,9 @@ def test_implicit_gradient(cr):
     """The gradient engine decodes implicit frames too (round 4): the
     energy-stop runs on its fine-sync-tracked windows (reference
     lib/decoder_impl.cc:861-866 operates identically in both demod
-    methods)."""
-    cfg = LoRaConfig(sf=7, cr=cr, samp_rate=250e3, crc=False, implicit=True)
+    methods). 1 Msps: the gradient method needs decim >= 4 (module
+    docs — at decim 2 a one-sample sync error is half a bin)."""
+    cfg = LoRaConfig(sf=7, cr=cr, samp_rate=1e6, crc=False, implicit=True)
     sps = cfg.samples_per_symbol
     payload = b"\xca\xfe\x01\x02"
     pkt = modulate_frame(cfg, payload, pad_before=4 * sps, pad_after=8 * sps,

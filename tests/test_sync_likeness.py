@@ -64,3 +64,33 @@ def test_likeness_jnp_matches_numpy():
     c_j = np.asarray(demod.upchirp_likeness(
         jnp.asarray(w), jnp.asarray(b), tiled, sps, decim, xp=jnp))
     np.testing.assert_allclose(c_np, c_j, atol=2e-3)
+
+
+def test_likeness_rows_matches_slice_version():
+    """The one-hot-matmul likeness (static fft path) must agree with the
+    table-slice version across bins and backends."""
+    import jax.numpy as jnp
+
+    cfg = LoRaConfig(sf=8, samp_rate=1e6)
+    up, _ = build_ideal_chirps(cfg)
+    tiled = tiled_upchirp_ifreq(cfg)
+    sps, N, decim = (cfg.samples_per_symbol, cfg.number_of_bins,
+                     cfg.decim_factor)
+    rows = demod.make_likeness_rows(tiled, sps, decim, N)
+    rng = np.random.default_rng(1)
+    wins = []
+    bins = []
+    for shift_bins in (0, 3, 100, 255):
+        s = shift_bins * decim
+        w = np.concatenate([up[s:], up[:s]])
+        w = w + (rng.normal(size=sps) + 1j * rng.normal(size=sps)) * 0.1
+        wins.append(w)
+        bins.append(demod.max_frequency_gradient_idx(w, N, decim))
+    wins = np.stack(wins)
+    bins = np.asarray(bins)
+    ref = demod.upchirp_likeness(wins, bins, tiled, sps, decim)
+    got_np = demod.upchirp_likeness_rows(wins, bins, rows)
+    got_j = np.asarray(demod.upchirp_likeness_rows(
+        jnp.asarray(wins), jnp.asarray(bins), rows, xp=jnp))
+    np.testing.assert_allclose(got_np, ref, atol=1e-5)
+    np.testing.assert_allclose(got_j, ref, atol=2e-3)

@@ -124,7 +124,89 @@ def main():
 
     stages["+detection metrics"] = s_metrics
 
-    stages["e2e (pooled phase B)"] = wr._process
+    # ---- pooled Phase B ablation: cut the static fft lane pipeline ----
+    from lora_tpu.ops import demod as dm
+    from lora_tpu.rx.frontend import candidate_starts, leak_suppression
+
+    def phaseb_upto(stage: str):
+        sps = rx.sps
+        pool = wr.pool if wr.pool is not None else 64
+
+        @jax.jit
+        def fn(xf):
+            chans = pfb(unpack_iq(xf))
+            cp = jnp.stack([jnp.real(chans), jnp.imag(chans)], axis=-2)
+            metrics = rx._metrics_planes(cp)
+            corr, e1, e2 = metrics
+            chan, winidx, lane_valid, snr, n_dropped = rx._pool_lanes(
+                e1, corr, 4, pool, cp.shape[-1])
+            if stage == "pool":
+                return chan.sum() + winidx.sum()
+
+            def per_lane(ch, w, cutoff=stage):
+                stream = jax.lax.dynamic_slice_in_dim(cp, ch, 1, axis=0)[0]
+                win = rx._candidate_win(stream, w * sps)
+                w2 = win(0, 2 * sps)
+                i0, _ = dm.upchirp_sync_parab(
+                    w2, rx._fold_mat, sps, rx.decim, xp=jnp)
+                i0 = i0.astype(jnp.int32)
+                if cutoff == "sync":
+                    return i0.astype(jnp.float32)
+                sfd_flat = win(i0, rx.F * sps)
+                sfd_wins = sfd_flat.reshape(rx.F, sps)
+                frac_cfo = dm.preamble_cfo(
+                    sfd_flat[: 2 * sps], sps, cfg.samp_rate, xp=jnp)
+                cs = jax.vmap(lambda w_: dm.downchirp_pearson(
+                    w_, rx._down_ifreq, sps, xp=jnp))(sfd_wins)
+                hit = cs > 0.96
+                found = hit.any()
+                first = jnp.argmax(hit).astype(jnp.int32)
+                if cutoff == "sfd_pearson":
+                    return frac_cfo + first.astype(jnp.float32)
+                sbins = dm.fft_shift_idx_mm(sfd_wins, rx._fold_mat, xp=jnp)
+                rel = (sbins - sbins[0]) % rx.n_bins
+                dist = jnp.minimum(rel, rx.n_bins - rel)
+                likeness = dm.upchirp_likeness(
+                    sfd_wins, sbins - 1, rx._up_ifreq_v, sps, rx.decim, xp=jnp)
+                sync_like = (dist > 3) & (likeness > dm.SYNC_LIKENESS_MIN)
+                recognised = sync_like & (jnp.cumsum(sync_like) <= 2)
+                before = jnp.arange(rx.F) < first
+                fails = jnp.sum(before & ~(cs < -0.97) & ~hit & ~recognised)
+                if cutoff == "sfd_rec":
+                    return fails.astype(jnp.float32)
+                coarse = dm.chirp_coarse_cfo(
+                    sfd_wins[0], sfd_wins[first], rx._up, rx._down,
+                    rx.n_bins, sps, cfg.samp_rate, xp=jnp,
+                    fold_down=rx._fold_mat, fold_up=rx._fold_up)
+                cfo = dm.combine_cfo(coarse, frac_cfo, sps, cfg.samp_rate, xp=jnp)
+                if cutoff == "cfo":
+                    return cfo
+                p_data = i0 + first * sps + 2 * sps + rx.cfg.delay_after_sync
+                nsym = 8 + rx.S
+                wins = win(p_data, nsym * sps).reshape(nsym, sps)
+                b_full = dm.fft_shift_idx_mm(wins, rx._fold_mat, xp=jnp)
+                if cutoff == "demod":
+                    return b_full.sum().astype(jnp.float32)
+                return b_full.sum().astype(jnp.float32)
+
+            out = jax.vmap(per_lane)(chan, winidx)
+            return out.sum()
+
+        return fn
+
+    for st in ("pool", "sync", "sfd_pearson", "sfd_rec", "cfo", "demod"):
+        stages[f"phaseB:{st}"] = phaseb_upto(st)
+
+    # scalar-reduced e2e: fetching the full result struct costs one
+    # tunnel round-trip PER ARRAY (~4.5 ms each on a degraded day) and
+    # swamps the compute signal — reduce on-device, fetch one scalar
+    @jax.jit
+    def s_e2e(xf):
+        r = wr.process_fn(xf)
+        return (r.valid.sum().astype(jnp.float32)
+                + r.payload.sum().astype(jnp.float32))
+
+    stages["e2e (pooled phase B)"] = s_e2e
 
     print(f"M={M} L={L/1e6:.1f} Ms ({GB:.2f} GB c64) "
           f"K={pfb.K} ntaps~{pfb.K*pfb.M}")

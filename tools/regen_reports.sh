@@ -29,20 +29,22 @@ gen short_sim_sf6_implicit --sfs 6
 gen short_sim_snr10 --snr 10
 gen short_sim_sync12
 gen short_sim_sdr
+gen short_sim_alt
 
 # ---- golden engine: every suite ----
 R short_sim decode_long_sim short_sim_cfo500 short_sim_conj \
   short_sim_drift short_sim_drift10 short_sim_implicit short_sim_sf13 \
   short_sim_sf6_implicit short_sim_snr10 short_sim_sync12 short_sim_sdr \
-  --engine golden
+  short_sim_alt --engine golden
 
 # ---- dense engine ----
 R short_sim decode_long_sim short_sim_cfo500 short_sim_snr10 \
-  short_sim_sync12 short_sim_sdr short_sim_drift --engine dense
+  short_sim_sync12 short_sim_sdr short_sim_drift short_sim_alt \
+  --engine dense
 
 # ---- parity engine ----
 R short_sim decode_long_sim short_sim_cfo500 short_sim_snr10 \
-  short_sim_sync12 short_sim_sdr --engine parity
+  short_sim_sync12 short_sim_sdr short_sim_alt --engine parity
 
 echo "=== regen complete ==="
 grep -H "Total payloads passed" docs/test-results/*.md | sed 's/docs\/test-results\///'
