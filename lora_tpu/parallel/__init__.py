@@ -11,4 +11,6 @@ from .sharding import (  # noqa: F401
     channel_sharded_process,
     time_sharded_process,
     wideband_time_sharded_process,
+    wideband_subband_sharded_process,
+    subband_channel_freq,
 )

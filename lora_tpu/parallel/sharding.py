@@ -141,9 +141,8 @@ def wideband_time_sharded_process(wideband, mesh: Mesh, axis: str = "dev",
         perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
         from_right = jax.lax.ppermute(head, axis, perm)
         ext = jnp.concatenate([xb, from_right], axis=-1)
-        x = jax.lax.complex(ext[0], ext[1])
-        chans = wideband.pfb(x)  # [M, (Lb + halo)/M - K + 1]
-        cp = jnp.stack([jnp.real(chans), jnp.imag(chans)], axis=-2)
+        # single-pass Pallas FIR + DFT-matmul planes path (round 4)
+        cp = wideband.pfb.planes(ext, out_dtype=wideband.plane_dtype)
         res = rx.process_planes(cp)
         own = res.start < (xb.shape[-1] // M)
         return DenseResult(
@@ -168,3 +167,99 @@ def wideband_time_sharded_process(wideband, mesh: Mesh, axis: str = "dev",
         check_vma=False,
     )
     return jax.jit(sm)
+
+
+def wideband_subband_sharded_process(wideband, mesh: Mesh, axis: str = "dev"):
+    """Channel-COUNT scale-out: two-stage channelization across the mesh
+    (the BASELINE config-#5 architecture — thousands-to-tens-of-thousands
+    of concurrent channels).
+
+    Stage 1 (time-parallel): each device holds a time shard of the
+    full-band capture (rate ``n_dev * M_fine * chan_rate``), pulls a
+    right halo over ICI (``ppermute``) to cover the coarse FIR tail, and
+    computes a critically-sampled ``n_dev``-band coarse PFB — yielding
+    every subband's samples for ITS time slice.
+
+    Redistribution: one ``all_to_all`` flips the sharding from
+    time-sharded/band-replicated to band-sharded/time-complete — device
+    ``d`` ends up holding subband ``d``'s packed planes for the whole
+    capture. Subband streams concatenate seamlessly across time shards:
+    the coarse PFB has no mixer state (FFT-bin convention) and the
+    shard length is a multiple of ``n_dev`` frames, so the polyphase
+    grid aligns.
+
+    Stage 2 (band-parallel): each device fine-channelizes its subband
+    with ``wideband``'s M-channel PFB and pool-decodes — per-device
+    work is independent of the total channel count
+    ``n_dev * wideband.M``.
+
+    Input: packed wideband ``xf [2, L]``, ``L`` divisible by
+    ``n_dev^2 * M_fine`` (time shards must hold whole coarse frames).
+    Returns ``PooledResult`` with leading axis = subband/device index;
+    ``channel`` indexes fine channels within the subband. Global fine
+    channel = ``band * M_fine + channel`` in the nested FFT-bin
+    convention (see :func:`subband_channel_freq`).
+    """
+    from ..channelizer import PolyphaseChannelizer, firdes_low_pass
+    from ..rx.dense import PooledResult
+
+    n_dev = mesh.shape[axis]
+    if wideband.pool is None:
+        raise ValueError("subband sharding uses the pooled decode path; "
+                         "construct WidebandReceiver(pool=...)")
+    # coarse prototype: pass the whole subband, stop by the neighbour's
+    # center (transition = spacing/5 keeps K = ceil(ntaps/n_dev) <= 16,
+    # the Pallas FIR halo budget)
+    wide_rate = wideband.wide_rate * n_dev
+    spacing = wide_rate / n_dev
+    coarse = PolyphaseChannelizer(
+        n_dev,
+        firdes_low_pass(1.0, wide_rate, 0.42 * spacing, spacing / 5.0),
+    )
+    halo = (coarse.K + 1) * n_dev
+
+    def local_fn(xb):
+        # xb: local time shard [2, Ls]
+        Ls = xb.shape[-1]
+        head = jax.lax.dynamic_slice_in_dim(xb, 0, min(halo, Ls), axis=-1)
+        perm = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+        from_right = jax.lax.ppermute(head, axis, perm)
+        ext = jnp.concatenate([xb, from_right], axis=-1)
+        bands = coarse.planes(ext)          # [n_dev, 2, >= Ls/n_dev]
+        bands = bands[..., : Ls // n_dev]   # whole-frame grid alignment
+        # time-sharded bands -> band-sharded time: device d receives its
+        # band's chunk from every time shard, concatenated in time order
+        mine = jax.lax.all_to_all(
+            bands, axis, split_axis=0, concat_axis=2, tiled=True
+        )  # [1, 2, Ls] — subband `device_index` for the whole capture
+        res = wideband.rx.process_pooled_planes(
+            wideband.pfb.planes(mine[0], out_dtype=wideband.plane_dtype),
+            wideband.pool,
+        )
+        return PooledResult(*(v[None] for v in res))
+
+    sm = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=P(None, axis),
+        out_specs=PooledResult(
+            valid=P(axis), channel=P(axis), payload=P(axis),
+            length=P(axis), hdr=P(axis), snr=P(axis), start=P(axis),
+            cfo=P(axis), n_dropped=P(axis),
+        ),
+        check_vma=False,
+    )
+    return jax.jit(sm)
+
+
+def subband_channel_freq(wide_rate: float, n_bands: int, m_fine: int,
+                         band: int, chan: int) -> float:
+    """Center frequency (Hz rel. capture center) of fine channel
+    ``chan`` in subband ``band`` of the two-stage channelizer."""
+    f_band = band * wide_rate / n_bands
+    if f_band >= wide_rate / 2:
+        f_band -= wide_rate
+    band_rate = wide_rate / n_bands
+    f_chan = chan * band_rate / m_fine
+    if f_chan >= band_rate / 2:
+        f_chan -= band_rate
+    return f_band + f_chan
