@@ -121,6 +121,12 @@ class Frame:
     channel: int = 0                    # channel index (multi-channel TPU rx)
     sample_index: int = -1              # stream position where decode finished
     cfo: float = 0.0                    # estimated carrier freq offset (Hz)
+    # seam-dedup conflict resolution (lora_tpu.stream): a CRC-passing
+    # re-decode replacing an earlier corrupt seam-clipped emission is
+    # flagged so consumers that already saw the corrupt frame can
+    # correlate the correction instead of counting a duplicate
+    dedup_replacement: bool = False
+    replaces: int = -1                  # sample_index of the retracted frame
 
     def __post_init__(self):
         self.tap_header.snr = snr_to_loratap(self.snr)
@@ -186,21 +192,14 @@ def header_checksum_nibbles(length: int, cr: int, has_mac_crc: bool) -> tuple:
     never verifies it (``header_checksum`` returns true); the tx side here
     computes the standard checksum so generated traces carry realistic
     headers. Verified against the reference demo trace header
-    ``04 90 40`` (len=4, cr=4, crc=1 -> msn 0x0, lsn 0x4).
+    ``04 90 40`` (len=4, cr=4, crc=1 -> msn 0x0, lsn 0x4). The parity
+    equations live in ``ops/bits.header_checksum_nibbles`` — shared with
+    the rx verification so the two sides cannot diverge.
     """
-    n0 = (length >> 4) & 0x0F
-    n1 = length & 0x0F
-    n2 = ((cr & 0x7) << 1) | (1 if has_mac_crc else 0)
+    from ..ops.bits import header_checksum_nibbles as _nibbles
 
-    def b(v, i):
-        return (v >> i) & 1
-
-    c4 = b(n0, 3) ^ b(n0, 2) ^ b(n0, 1) ^ b(n0, 0)
-    c3 = b(n0, 3) ^ b(n1, 3) ^ b(n1, 2) ^ b(n1, 1) ^ b(n2, 0)
-    c2 = b(n0, 2) ^ b(n1, 3) ^ b(n1, 0) ^ b(n2, 3) ^ b(n2, 1)
-    c1 = b(n0, 1) ^ b(n1, 2) ^ b(n1, 0) ^ b(n2, 2) ^ b(n2, 1) ^ b(n2, 0)
-    c0 = b(n0, 0) ^ b(n1, 1) ^ b(n2, 3) ^ b(n2, 2) ^ b(n2, 1) ^ b(n2, 0)
-    return c4, (c3 << 3) | (c2 << 2) | (c1 << 1) | c0
+    msn, lsn = _nibbles(length, cr, 1 if has_mac_crc else 0)
+    return int(msn), int(lsn)
 
 
 def mac_crc(payload: bytes) -> bytes:

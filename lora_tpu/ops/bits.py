@@ -114,3 +114,28 @@ def unpack_bytes_to_nibbles(data, high_first: bool, xp=np):
     first, second = (hi, lo) if high_first else (lo, hi)
     out = xp.stack([first, second], axis=-1)
     return out.reshape(data.shape[:-1] + (-1,))
+
+
+def header_checksum_nibbles(length, cr, has_crc, xp=np):
+    """PHY header checksum ``(msn, lsn)`` over the 12 header bits.
+
+    The single source of the five parity equations (bit ordering per
+    reference ``utilities.h:396-404``, which documents but never
+    verifies them): the tx builder (``io/frames``) and the opt-in rx
+    verification (``ops/decode.header_checksum_valid``) both call this,
+    so the bit order can never diverge between the two sides. Works on
+    scalars or integer arrays (``xp`` in {numpy, jax.numpy}).
+    """
+    n0 = (length >> 4) & 0x0F
+    n1 = length & 0x0F
+    n2 = ((cr & 0x7) << 1) | (has_crc & 0x1)
+
+    def b(v, i):
+        return (v >> i) & 1
+
+    c4 = b(n0, 3) ^ b(n0, 2) ^ b(n0, 1) ^ b(n0, 0)
+    c3 = b(n0, 3) ^ b(n1, 3) ^ b(n1, 2) ^ b(n1, 1) ^ b(n2, 0)
+    c2 = b(n0, 2) ^ b(n1, 3) ^ b(n1, 0) ^ b(n2, 3) ^ b(n2, 1)
+    c1 = b(n0, 1) ^ b(n1, 2) ^ b(n1, 0) ^ b(n2, 2) ^ b(n2, 1) ^ b(n2, 0)
+    c0 = b(n0, 0) ^ b(n1, 1) ^ b(n2, 3) ^ b(n2, 2) ^ b(n2, 1) ^ b(n2, 0)
+    return c4, (c3 << 3) | (c2 << 2) | (c1 << 1) | c0

@@ -84,10 +84,11 @@ def header_checksum_valid(hdr_bytes, xp):
 
     The reference documents the checksum bit order but never verifies it
     (``header_checksum`` returns true, reference utilities.h:396-404);
-    the tx here computes it (io/frames.header_checksum_nibbles), so rx
-    verification is nearly free and prunes false frames on noise-driven
-    candidate lanes. Same bit equations as the host builder, traced.
-    ``hdr_bytes``: int ``[..., 3]``. Returns bool ``[...]``.
+    the tx here computes it, so rx verification is nearly free and
+    prunes false frames on noise-driven candidate lanes. The parity
+    equations are shared with the tx builder
+    (``ops/bits.header_checksum_nibbles``) so the two sides cannot
+    diverge. ``hdr_bytes``: int ``[..., 3]``. Returns bool ``[...]``.
     """
     length = hdr_bytes[..., 0]
     b1 = hdr_bytes[..., 1]
@@ -100,19 +101,8 @@ def header_checksum_valid(hdr_bytes, xp):
     # loraphy.h bitfield named ``crc_lsn`` actually holds the padding
     # nibble n5. Verified against the reference demo trace header.
     crc_lsn = (b2 >> 4) & 0x0F
-    n0 = (length >> 4) & 0x0F
-    n1 = length & 0x0F
-    n2 = ((cr & 0x7) << 1) | has
-
-    def b(v, i):
-        return (v >> i) & 1
-
-    c4 = b(n0, 3) ^ b(n0, 2) ^ b(n0, 1) ^ b(n0, 0)
-    c3 = b(n0, 3) ^ b(n1, 3) ^ b(n1, 2) ^ b(n1, 1) ^ b(n2, 0)
-    c2 = b(n0, 2) ^ b(n1, 3) ^ b(n1, 0) ^ b(n2, 3) ^ b(n2, 1)
-    c1 = b(n0, 1) ^ b(n1, 2) ^ b(n1, 0) ^ b(n2, 2) ^ b(n2, 1) ^ b(n2, 0)
-    c0 = b(n0, 0) ^ b(n1, 1) ^ b(n2, 3) ^ b(n2, 2) ^ b(n2, 1) ^ b(n2, 0)
-    return (crc_msn == c4) & (crc_lsn == ((c3 << 3) | (c2 << 2) | (c1 << 1) | c0))
+    c_msn, c_lsn = bits.header_checksum_nibbles(length, cr, has, xp=xp)
+    return (crc_msn == c_msn) & (crc_lsn == c_lsn)
 
 
 def payload_symbol_budget(length_with_crc, cr, sf: int, reduced_rate: bool, xp):

@@ -209,37 +209,52 @@ def pfb_fir_pallas(xf, h_poly, out_dtype=jnp.float32, interpret: bool = False):
     K + 1``) in ``out_dtype`` — bf16 halves the bandwidth of every
     downstream pass (DFT matmul, detection, Phase B gathers).
 
-    Single HBM pass vs the jnp shifted-slice formulation's K reads; the
-    <= T-1 remainder rows past the largest T-multiple are computed with
-    the jnp math on a small tail slice. Falls back to ``None`` (caller
-    uses the jnp path) when the geometry doesn't tile (M not a lane
-    multiple or fewer than T output rows).
+    Single HBM pass vs the jnp shifted-slice formulation's K reads. The
+    kernel covers the largest 16-row-aligned prefix; the <= 15 + K - 1
+    remainder output rows past it are computed with the jnp math on a
+    small tail slice, so misaligned block lengths (the sharded /
+    streaming halo geometries) still take the fast path. Falls back to
+    ``None`` (caller uses the jnp path) only when the geometry can't
+    tile at all (M not a lane multiple, fewer than one tile of rows, or
+    K past the halo budget).
     """
     M = h_poly.shape[1]
     K = h_poly.shape[0]
     L = xf.shape[-1]
     n_vec = L // M
     n_out = n_vec - K + 1
-    if M % 128 != 0 or n_out < 16 or n_vec % 16 != 0:
-        return None
-    if K > 16:
+    if M % 128 != 0 or K > 16:
         return None  # halo block holds K-1 <= 15 following rows
+    nk = (n_vec // 16) * 16  # kernel view: 16-row-aligned prefix
+    if nk < 32:
+        return None
     x3 = xf[..., : n_vec * M].reshape(2, n_vec, M)
+    x3k = x3[:, :nk]
     # VMEM budget: double-buffered [T, M] f32 in + [16, M] halo + out +
     # ~3 temporaries
     budget = 12 * 1024 * 1024
     t_max = budget // (4 * M * 7)
     for T in (512, 256, 128, 64, 32, 16):
-        if T <= t_max and n_vec % T == 0 and T % 16 == 0:
+        if T <= t_max and nk % T == 0:
             break
     else:
         return None
-    # the grid covers every input row; rows >= n_out read a clamped halo
-    # and are trimmed (their taps would need rows past the array) —
-    # valid rows only ever tap main-block + true following rows
     taps = jnp.asarray(h_poly, jnp.float32)
-    full = _pfb_fir_call(x3, taps, T, out_dtype, interpret)  # [2, n_vec, M]
-    return full[:, :n_out]
+    full = _pfb_fir_call(x3k, taps, T, out_dtype, interpret)  # [2, nk, M]
+    # kernel rows [0, nk - K + 1) only ever tap true rows (< nk); the
+    # last block's clamped halo poisons rows past that — recompute the
+    # (tiny) remainder [nk - K + 1, n_out) with the jnp math over the
+    # true input rows, which also covers the 16-alignment trim
+    k_rows = nk - K + 1
+    if k_rows >= n_out:
+        return full[:, :n_out]
+    tail_in = x3[:, k_rows:]               # [2, n_vec - k_rows, M]
+    t_out = n_out - k_rows                 # <= 15 + K - 1 rows
+    acc = jnp.zeros((2, t_out, M), jnp.float32)
+    for j in range(K):
+        acc = acc + taps[j][None, None, :] * jax.lax.dynamic_slice_in_dim(
+            tail_in, j, t_out, axis=1)
+    return jnp.concatenate([full[:, :k_rows], acc.astype(out_dtype)], axis=1)
 
 
 def detection_metrics_pallas(xf, sps: int, interpret: bool = False,

@@ -130,10 +130,20 @@ def stage_timings(
                 fold_mat=fold)[0]
         )
     else:
+        # the engine default since round 4: CFO-invariant ifreq-wrap
+        # coarse + refine (demod.upchirp_sync_grad). The reference-parity
+        # O(sps^2) sliding search remains opt-in (fast_sync=False) and is
+        # reported as ``sync_parity``.
         sync = jax.jit(
+            lambda wf: demod.upchirp_sync_grad(
+                _cplx(wf), up_ifreq, sps, cfg.number_of_bins,
+                cfg.decim_factor, xp=jnp)[0]
+        )
+        sync_p = jax.jit(
             lambda wf: demod.upchirp_sync_xcorr(_cplx(wf), up_ifreq, sps,
                                                 xp=jnp)[0]
         )
+        timings["sync_parity"] = _time_fn(sync_p, (wins2,), nsync, iters)
     timings["sync"] = _time_fn(sync, (wins2,), nsync, iters)
 
     # --- SFD: downchirp Pearson correlation per window ---
@@ -215,6 +225,7 @@ def timing_table(
     units = {
         "detect": "window",
         "sync": "event",
+        "sync_parity": "event",
         "sfd": "window",
         "demod": "symbol",
         "decode": "frame",
@@ -223,9 +234,17 @@ def timing_table(
         for method in methods:
             t = stage_timings(sf=sf, method=method, samp_rate=samp_rate,
                               iters=iters)
-            for stage in ("detect", "sync", "sfd", "demod", "decode"):
+            stages = ("detect", "sync", "sync_parity", "sfd", "demod",
+                      "decode")
+            for stage in stages:
+                if stage not in t:
+                    continue
                 ms = t[stage] * 1e3
                 ref = REF_MS.get((sf, method, stage))
+                # the parity sliding search is what the reference's sync
+                # row measures
+                if stage == "sync_parity":
+                    ref = REF_MS.get((sf, method, "sync"))
                 ref_s = f"{ref:.4f}" if ref is not None else "—"
                 spd = f"{ref / ms:,.0f}x" if ref else "—"
                 lines.append(
@@ -235,6 +254,35 @@ def timing_table(
     return "\n".join(lines) + "\n"
 
 
+def pfb_timings(n_channels: int = 1024, chan_rate: float = 250e3,
+                block_symbols: int = 96, iters: int = 5,
+                seed: int = 0) -> Dict[str, float]:
+    """Channelizer stage timing: the packed-plane PFB (Pallas FIR +
+    DFT matmul, :meth:`channelizer.PolyphaseChannelizer.planes`) in
+    seconds per wideband Msample, f32 and bf16 plane variants. The
+    reference channelizes ONE channel in ~1 s/Msample (real-time at
+    1 Msps, reference README.md:91)."""
+    from .channelizer import PolyphaseChannelizer
+
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=chan_rate, crc=True)
+    M = int(n_channels)
+    L = M * block_symbols * cfg.samples_per_symbol
+    pfb = PolyphaseChannelizer.for_lora(M * chan_rate, M, cfg.bandwidth)
+    rng = np.random.default_rng(seed)
+    x = (rng.normal(0, 1.0, (L, 2)).astype(np.float32)
+         @ np.array([1, 1j], np.complex64)).astype(np.complex64)
+    xd = jax.device_put(pack_iq(x))
+    out: Dict[str, float] = {}
+    for name, dt in (("pfb_f32", jnp.float32), ("pfb_bf16", jnp.bfloat16)):
+        fn = jax.jit(
+            lambda xf, dt=dt: pfb.planes(xf, out_dtype=dt)
+            .astype(jnp.float32).sum()
+        )
+        per_call = _time_fn(fn, (xd,), 1, iters)
+        out[name] = per_call / (L / 1e6)  # seconds per Msample
+    return out
+
+
 def main(argv: Optional[list] = None) -> int:
     import argparse
 
@@ -242,9 +290,18 @@ def main(argv: Optional[list] = None) -> int:
     p.add_argument("--sfs", type=int, nargs="+", default=[7, 12])
     p.add_argument("--methods", nargs="+", default=["gradient", "fft"])
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--pfb", type=int, default=0, metavar="M",
+                   help="also time the M-channel PFB planes stage")
     p.add_argument("--out", default=None, help="write markdown here")
     args = p.parse_args(argv)
     table = timing_table(tuple(args.sfs), tuple(args.methods), iters=args.iters)
+    if args.pfb:
+        t = pfb_timings(args.pfb, iters=args.iters)
+        table += (
+            f"\nPFB ({args.pfb} ch): "
+            f"f32 {t['pfb_f32'] * 1e3:.4f} ms/Msample, "
+            f"bf16 {t['pfb_bf16'] * 1e3:.4f} ms/Msample\n"
+        )
     print(table)
     if args.out:
         with open(args.out, "w") as f:

@@ -210,21 +210,26 @@ class StreamingReceiver:
                      if abs(abs_start - s[0]) < self._dedup_distance), None,
                 )
                 if blocker is not None:
-                    self.n_dedup_suppressed += 1
                     if blocker[1] != payload:
                         self.n_dedup_conflicts += 1
                         # Conflict resolution: a seam-clipped first
                         # detection can decode corrupted bytes; if the
                         # later clean decode passes the MAC CRC and the
-                        # blocker's did not, prefer the clean frame —
-                        # retract the corrupted one if still uncollected
-                        # (sinks that already saw it receive the
-                        # replacement as a corrected frame).
+                        # blocker's did not, emit the clean frame as a
+                        # CORRECTION — retracted from _frames when the
+                        # caller hasn't collected the corrupt one yet,
+                        # otherwise delivered as a second emission
+                        # flagged ``dedup_replacement`` + ``replaces``
+                        # (the corrupt frame may already be downstream;
+                        # consumers correlate via the flag rather than
+                        # silently receiving a duplicate).
                         f_new = make_frame()
                         f_old = blocker[2]
                         if f_new.crc_ok and f_old is not None \
                                 and f_old.crc_ok is False:
                             self.n_dedup_replaced += 1
+                            f_new.dedup_replacement = True
+                            f_new.replaces = f_old.sample_index
                             try:
                                 self._frames.remove(f_old)
                             except ValueError:
@@ -235,6 +240,8 @@ class StreamingReceiver:
                             self._frames.append(f_new)
                             for s in self.sinks:
                                 s.handle(f_new)
+                            continue
+                    self.n_dedup_suppressed += 1
                     continue
                 f = make_frame()
                 self._emitted_starts.append((abs_start, payload, f))
@@ -384,16 +391,18 @@ class WidebandStreamingReceiver:
                      if abs(abs_start - s[0]) < self._dedup_distance), None,
                 )
                 if blocker is not None:
-                    self.n_dedup_suppressed += 1
                     if blocker[1] != payload:
                         self.n_dedup_conflicts += 1
                         # CRC-preferenced conflict resolution (see
-                        # StreamingReceiver._drain)
+                        # StreamingReceiver._drain for the emission and
+                        # flagging semantics)
                         f_new = make_frame()
                         f_old = blocker[2]
                         if f_new.crc_ok and f_old is not None \
                                 and f_old.crc_ok is False:
                             self.n_dedup_replaced += 1
+                            f_new.dedup_replacement = True
+                            f_new.replaces = f_old.sample_index
                             try:
                                 self._frames.remove(f_old)
                             except ValueError:
@@ -403,6 +412,8 @@ class WidebandStreamingReceiver:
                             self._frames.append(f_new)
                             for s in self.sinks:
                                 s.handle(f_new)
+                            continue
+                    self.n_dedup_suppressed += 1
                     continue
                 f = make_frame()
                 seen.append((abs_start, payload, f))

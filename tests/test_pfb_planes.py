@@ -117,3 +117,28 @@ def test_planes_two_stage_bf16():
                                 out_dtype=jnp.bfloat16)).astype(np.float32)
     scale = np.abs(ref).max()
     np.testing.assert_allclose(got, ref, atol=5e-2 * scale)
+
+
+def test_pfb_fir_pallas_misaligned_rows_interpret():
+    """The Pallas FIR must engage (not fall back) for the sharded /
+    streaming halo geometries where n_vec % 16 == K+1, computing the
+    16-alignment + clamped-halo remainder via the jnp tail. Interpret
+    mode exercises the kernel on the CPU backend."""
+    from lora_tpu.ops.pallas_kernels import pfb_fir_pallas
+
+    M = 128
+    pfb = PolyphaseChannelizer.for_lora(M * 250e3, M)
+    n_vec = 512 + pfb.K + 1  # the wideband_time_sharded halo residue
+    rng = np.random.default_rng(0)
+    L = M * n_vec
+    x = (rng.normal(size=L) + 1j * rng.normal(size=L)).astype(np.complex64)
+    xf = jnp.asarray(pack_iq(x))
+    out = pfb_fir_pallas(xf, pfb.h_poly, interpret=True)
+    assert out is not None, "kernel fell back on the halo geometry"
+    out = np.asarray(out)
+    x3 = np.asarray(pack_iq(x)).reshape(2, n_vec, M)
+    n_out = n_vec - pfb.K + 1
+    acc = np.zeros((2, n_out, M), np.float32)
+    for j in range(pfb.K):
+        acc += pfb.h_poly[j][None, None, :] * x3[:, j:j + n_out]
+    np.testing.assert_allclose(out, acc, atol=1e-5)
