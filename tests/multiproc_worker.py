@@ -98,5 +98,67 @@ for shard in res.valid.addressable_shards:
     # decoded payload carries the 2-byte MAC CRC after the data
     assert got[: len(want)] == want, (b, got.hex(), want.hex())
 
-print(f"proc {pid}: OK ({total_valid} packets over {n_dev} devices)")
+# --- subband-sharded wideband over the SAME global mesh: the coarse
+# PFB's all_to_all redistribution crosses the process boundary (DCN),
+# the CPU stand-in for a multi-host band exchange ---
+from lora_tpu.parallel import (subband_channel_freq,  # noqa: E402
+                               wideband_subband_sharded_process)
+from lora_tpu.wideband import WidebandReceiver  # noqa: E402
+
+M_fine = 8
+wr = WidebandReceiver(cfg, M_fine, pool=8, max_candidates=2,
+                      max_symbols=12, sfd_search=10, demod_method="fft")
+wide_rate = n_dev * M_fine * cfg.samp_rate
+chan_samples = (wr.rx.pkt_samples // sps + 16) * sps
+Lw = n_dev * M_fine * chan_samples
+step = n_dev * n_dev * M_fine
+Lw = -(-Lw // step) * step
+wide_cfg = LoRaConfig(sf=7, cr=4, samp_rate=wide_rate, crc=True,
+                      bandwidth=cfg.bandwidth)
+sps_w = wide_cfg.samples_per_symbol
+xw = np.zeros(Lw, np.complex64)
+# one packet on a band owned by each PROCESS (bands 1 and 6 live on
+# different processes in the 2x4 layout)
+wplacements = [(1, 2, b"\x77"), (6, 3, b"\x99")]
+tw = np.arange(Lw)
+for band, chan, pl in wplacements:
+    f = subband_channel_freq(wide_rate, n_dev, M_fine, band, chan)
+    pkt = modulate_frame(wide_cfg, pl, snr_db=None)
+    pos = 2 * sps_w * (1 + band)
+    xw[pos:pos + len(pkt)] += (
+        pkt * np.exp(2j * np.pi * f / wide_rate * tw[pos:pos + len(pkt)])
+    ).astype(np.complex64)
+xwf = pack_iq(xw)
+wfn = wideband_subband_sharded_process(wr, mesh)
+gxw = jax.make_array_from_callback(
+    xwf.shape, sharding, lambda idx: np.ascontiguousarray(xwf[idx])
+)
+wres = wfn(gxw)
+ok_bands = []
+for shard in wres.valid.addressable_shards:
+    band = shard.index[0].start or 0
+    want = next((pl for b, c, pl in wplacements if b == band), None)
+    if want is None:
+        continue
+    chan_want = next(c for b, c, pl in wplacements if b == band)
+    v = np.asarray(shard.data)[0]
+    chans = np.asarray(
+        next(s.data for s in wres.channel.addressable_shards
+             if (s.index[0].start or 0) == band))[0]
+    pays = np.asarray(
+        next(s.data for s in wres.payload.addressable_shards
+             if (s.index[0].start or 0) == band))[0]
+    lens = np.asarray(
+        next(s.data for s in wres.length.addressable_shards
+             if (s.index[0].start or 0) == band))[0]
+    hit = False
+    for g in np.nonzero(v)[0]:
+        if int(chans[g]) == chan_want and \
+                bytes(pays[g][: int(lens[g])])[: len(want)] == want:
+            hit = True
+    assert hit, (band, chan_want, want.hex())
+    ok_bands.append(band)
+
+print(f"proc {pid}: OK ({total_valid} packets over {n_dev} devices; "
+      f"subband all_to_all bands {ok_bands} decoded)")
 jax.distributed.shutdown()
