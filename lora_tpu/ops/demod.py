@@ -59,20 +59,48 @@ def symbol_energy(window, xp=np):
     return xp.sum(xp.real(window) ** 2 + xp.imag(window) ** 2, axis=-1).astype("float32")
 
 
-def _sliding_dot(x, ref, n_offsets: int, xp=np):
+def _sliding_dot(x, ref, n_offsets: int, xp=np, chunk: int = 512):
     """``out[..., i] = sum_k x[..., i+k] * ref[k]`` for i in [0, n_offsets).
 
-    Expressed as a valid cross-correlation so the jnp path lowers to an XLA
-    conv (no multi-MB gather-index constants; TPU-compile friendly).
+    jnp path: the reference row is split into ``chunk``-tap pieces and
+    the correlation becomes ONE depthwise (grouped) convolution with a
+    ``chunk``-wide kernel plus a channel sum. A direct m-tap XLA conv
+    carries the kernel width into compilation — at SF12 a 32k-tap conv
+    whose *compile* dominated end-to-end time on the remote TPU
+    toolchain (docs/perf/NOTES.md "tunnel compile pathology"); the
+    chunked form compiles in seconds at every SF and lowers to the same
+    dot products (summation order differs only at float ulp level).
     """
     m = len(ref)
     if xp is np:
         w = np.lib.stride_tricks.sliding_window_view(x, m, axis=-1)[..., :n_offsets, :]
         return w @ ref
-    kernel = xp.asarray(ref[::-1].copy())
-    flat = x.reshape((-1, x.shape[-1]))
-    out = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(flat)
-    return out[..., :n_offsets].reshape(x.shape[:-1] + (n_offsets,))
+    if m <= chunk:
+        kernel = xp.asarray(ref[::-1].copy())
+        flat = x.reshape((-1, x.shape[-1]))
+        out = jax.vmap(lambda row: jnp.convolve(row, kernel, mode="valid"))(flat)
+        return out[..., :n_offsets].reshape(x.shape[:-1] + (n_offsets,))
+    nc = -(-m // chunk)
+    refp = np.zeros(nc * chunk, ref.dtype)
+    refp[:m] = ref
+    lead = x.shape[:-1]
+    # tail zero-pad so every chunk's window fits; zero taps contribute 0
+    xpad = jnp.concatenate(
+        [x, jnp.zeros(lead + (chunk,), x.dtype)], axis=-1)
+    seg = n_offsets + chunk - 1
+    rows = jnp.stack(
+        [jax.lax.slice_in_dim(xpad, c * chunk, c * chunk + seg, axis=-1)
+         for c in range(nc)], axis=-2)  # [..., nc, seg]
+    lhs = rows.reshape((-1, nc, seg))
+    # correlation (no kernel flip): conv output channel g =
+    # corr(lhs channel g, refp chunk g)
+    rhs = jnp.asarray(refp.reshape(nc, 1, chunk))
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        feature_group_count=nc,
+        dimension_numbers=("NCH", "OIH", "NCH"),
+    )  # [B, nc, n_offsets]
+    return out.sum(axis=-2).reshape(lead + (n_offsets,))
 
 
 def upchirp_sync_xcorr(windows2, upchirp_ifreq, sps: int, xp=np):
