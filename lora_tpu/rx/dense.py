@@ -110,11 +110,14 @@ class DenseReceiver:
         fft_drift_pass=None,
         fast_sync=None,
         header_checksum: bool = False,
+        detect_threshold: float = 0.90,
+        low_snr: bool = False,
+        low_snr_threshold=None,
     ):
         if demod_method == "auto":
             demod_method = (
                 "fft"
-                if config.implicit or config.decim_factor < 4
+                if config.implicit or config.decim_factor < 4 or low_snr
                 else "gradient"
             )
         self.cfg = config
@@ -170,6 +173,14 @@ class DenseReceiver:
         # reference (whose OTA traces *do* carry valid checksums, but
         # third-party captures may not).
         self.header_checksum = bool(header_checksum)
+        # DETECT preamble-autocorrelation threshold (reference :377 uses
+        # 0.90 — the parity default). The receiver's sensitivity floor is
+        # detection-limited: a preamble at SNR s has expected adjacent-
+        # window autocorrelation ~ s/(s+1), so 0.90 stops detecting
+        # below ~+10 dB. Lowering it buys sensitivity at the cost of
+        # more noise candidates (bounded by max_candidates/pool; see
+        # docs/perf/sensitivity.md for the measured trade).
+        self.detect_threshold = float(detect_threshold)
         self.sps = config.samples_per_symbol
         self.n_bins = config.number_of_bins
         self.decim = config.decim_factor
@@ -208,6 +219,48 @@ class DenseReceiver:
             if self.sps * self.n_bins <= 16 * 1024 * 1024
             else None
         )
+        # Coherent low-SNR mode (beyond the reference): detection by
+        # dechirp-fold peak/mean with tone-agreement gating
+        # (frontend.detection_metrics_dechirp) and SFD by up-vs-down
+        # dechirp peak comparison — both accumulate the full symbol
+        # coherently (10*log10(sps) processing gain) instead of the
+        # reference's ifreq-domain correlations, whose Pearson gates
+        # saturate below ~+9 dB in-channel (docs/perf/sensitivity.md).
+        # fft engine only (the gradient demod is itself ifreq-based);
+        # explicit headers only (the implicit energy-stop threshold is
+        # noise-dominated exactly where this mode matters).
+        self.low_snr = bool(low_snr)
+        if self.low_snr:
+            if self.method != "fft":
+                raise ValueError("low_snr mode requires the fft engine")
+            if self._fold_mat is None and \
+                    self.sps * self.n_bins <= 64 * 1024 * 1024:
+                # the mode REQUIRES the fold matrices; accept a larger
+                # footprint than the throughput path's 16M default
+                # (64M entries = 512 MB of f32 planes — SF12 at 250 ksps.
+                # Long-range = low-SNR reception IS the SF11/12 regime,
+                # and decimating toward critical sampling first is what a
+                # deployment does anyway.)
+                self._fold_mat = demod.make_fold_dft(down, self.sps,
+                                                     self.n_bins)
+                self._fold_up = demod.make_fold_dft(up, self.sps,
+                                                    self.n_bins)
+            if self._fold_mat is None:
+                raise ValueError(
+                    "low_snr mode needs the fold-DFT matrices (sps * "
+                    "n_bins <= 64M); decimate closer to critical "
+                    "sampling first")
+            if config.implicit:
+                raise ValueError(
+                    "low_snr mode is explicit-header only (the implicit "
+                    "energy-stop is noise-dominated at low SNR)")
+        # candidate threshold on the dechirp peak/mean score: the noise
+        # baseline is ln(n_bins) + 0.577 (peak/mean of n_bins exponential
+        # bins); 1.6x sits ~4 sigma above it while admitting SF7 preambles
+        # to ~-15 dB in-window (measured, docs/perf/sensitivity.md)
+        if low_snr_threshold is None:
+            low_snr_threshold = 1.6 * (np.log(self.n_bins) + 0.5772)
+        self.low_snr_threshold = float(low_snr_threshold)
 
         # per-packet region: sync(2) + sfd_search + 2.25 + 8 hdr + S payload
         self.pkt_samples = (self.F + 13 + self.S) * self.sps
@@ -215,6 +268,11 @@ class DenseReceiver:
         self._pay_luts = {}  # codeword-count -> fused decode-tail table
         self.process_fn = self._build()   # un-jitted (for shard_map wrapping)
         self._process = jax.jit(self.process_fn)
+
+    @property
+    def _cand_threshold(self) -> float:
+        """Candidate threshold for the active detection metric."""
+        return self.low_snr_threshold if self.low_snr else self.detect_threshold
 
     # ------------------------------------------------------------------
     def _demod_symbol(self, window):
@@ -475,39 +533,76 @@ class DenseReceiver:
         frac_cfo = demod.preamble_cfo(
             sfd_flat[: 2 * sps], sps, cfg.samp_rate, xp=jnp,
         )
-        cs = jax.vmap(
-            lambda w: demod.downchirp_pearson(w, self._down_ifreq, sps, xp=jnp)
-        )(sfd_wins)
-        hit = cs > 0.96
-        found = hit.any()
-        first = jnp.argmax(hit).astype(jnp.int32)  # first hit index
-        # fail accounting as in the walk (reference :805-813): a pre-SFD
-        # window that is neither SFD nor still-upchirp counts as a miss —
-        # except recognised sync-word symbols (<= 2 upchirps clearly
-        # shifted vs the first window; see GoldenReceiver FIND_SFD), which
-        # spend no fail budget. The static grid needs no alignment hold
-        # (there is no drift chase to poison), only the fail arithmetic.
-        if self._fold_mat is not None:
-            sbins = demod.fft_shift_idx_mm(sfd_wins, self._fold_mat, xp=jnp)
+        if self.low_snr:
+            # Coherent SFD discrimination: a downchirk window dechirped
+            # by the UPCHIRP folds to a single tone while its dechirp by
+            # the downchirp stays flat (and vice versa for preamble
+            # upchirps) — comparing the two folded peaks separates
+            # up/down/noise with the full sps-sample processing gain
+            # (usable to ~-15 dB where the ifreq Pearson saturates at
+            # ~+9 dB; measured in docs/perf/sensitivity.md).
+            def fpow(w_, fm):
+                er, ei = fm
+                wr, wi = jnp.real(w_), jnp.imag(w_)
+                fr = wr @ jnp.asarray(er) - wi @ jnp.asarray(ei)
+                fi = wr @ jnp.asarray(ei) + wi @ jnp.asarray(er)
+                return fr * fr + fi * fi
+
+            pd = fpow(sfd_wins, self._fold_mat)   # upchirp-tone power
+            pu = fpow(sfd_wins, self._fold_up)    # downchirp-tone power
+            pd_peak = pd.max(axis=-1)
+            pu_peak = pu.max(axis=-1)
+            sbins = jnp.argmax(pd, axis=-1).astype(jnp.int32)
+            hit = pu_peak > 2.0 * pd_peak         # downchirk-like: SFD
+            found = hit.any()
+            first = jnp.argmax(hit).astype(jnp.int32)
+            up_like = pd_peak > 2.0 * pu_peak     # preamble / sync word
+            rel = (sbins - sbins[0]) % self.n_bins
+            dist = jnp.minimum(rel, self.n_bins - rel)
+            # sync-word symbols ARE upchirp-like in the dechirp domain
+            # (a tone at the shifted bin) — no separate likeness gate
+            recognised = up_like & (dist > 3) & \
+                (jnp.cumsum(up_like & (dist > 3)) <= 2)
+            before = jnp.arange(self.F) < first
+            fails = jnp.sum(before & ~up_like & ~hit & ~recognised)
+            sfd_ok = found & (fails <= 4)
+            # debug-tap analogue of the Pearson: +1 = SFD-like
+            cs = ((pu_peak - pd_peak)
+                  / jnp.maximum(pu_peak + pd_peak, 1e-30))
         else:
-            sbins = jax.vmap(
-                lambda w: demod.fft_shift_idx(w, self._down, self.n_bins, sps, xp=jnp)
+            cs = jax.vmap(
+                lambda w: demod.downchirp_pearson(w, self._down_ifreq, sps, xp=jnp)
             )(sfd_wins)
-        rel = (sbins - sbins[0]) % self.n_bins
-        dist = jnp.minimum(rel, self.n_bins - rel)
-        # signal-evidence gate (see the gradient walk / upchirp_likeness):
-        # fft bins read gradient+1, so the likeness lag uses sbins-1
-        if self._likeness_rows is not None:
-            likeness = demod.upchirp_likeness_rows(
-                sfd_wins, sbins - 1, self._likeness_rows, xp=jnp)
-        else:
-            likeness = demod.upchirp_likeness(
-                sfd_wins, sbins - 1, self._up_ifreq_v, sps, self.decim, xp=jnp)
-        sync_like = (dist > 3) & (likeness > demod.SYNC_LIKENESS_MIN)
-        recognised = sync_like & (jnp.cumsum(sync_like) <= 2)
-        before = jnp.arange(self.F) < first
-        fails = jnp.sum(before & ~(cs < -0.97) & ~hit & ~recognised)
-        sfd_ok = found & (fails <= 4)
+            hit = cs > 0.96
+            found = hit.any()
+            first = jnp.argmax(hit).astype(jnp.int32)  # first hit index
+            # fail accounting as in the walk (reference :805-813): a pre-SFD
+            # window that is neither SFD nor still-upchirp counts as a miss —
+            # except recognised sync-word symbols (<= 2 upchirps clearly
+            # shifted vs the first window; see GoldenReceiver FIND_SFD), which
+            # spend no fail budget. The static grid needs no alignment hold
+            # (there is no drift chase to poison), only the fail arithmetic.
+            if self._fold_mat is not None:
+                sbins = demod.fft_shift_idx_mm(sfd_wins, self._fold_mat, xp=jnp)
+            else:
+                sbins = jax.vmap(
+                    lambda w: demod.fft_shift_idx(w, self._down, self.n_bins, sps, xp=jnp)
+                )(sfd_wins)
+            rel = (sbins - sbins[0]) % self.n_bins
+            dist = jnp.minimum(rel, self.n_bins - rel)
+            # signal-evidence gate (see the gradient walk / upchirp_likeness):
+            # fft bins read gradient+1, so the likeness lag uses sbins-1
+            if self._likeness_rows is not None:
+                likeness = demod.upchirp_likeness_rows(
+                    sfd_wins, sbins - 1, self._likeness_rows, xp=jnp)
+            else:
+                likeness = demod.upchirp_likeness(
+                    sfd_wins, sbins - 1, self._up_ifreq_v, sps, self.decim, xp=jnp)
+            sync_like = (dist > 3) & (likeness > demod.SYNC_LIKENESS_MIN)
+            recognised = sync_like & (jnp.cumsum(sync_like) <= 2)
+            before = jnp.arange(self.F) < first
+            fails = jnp.sum(before & ~(cs < -0.97) & ~hit & ~recognised)
+            sfd_ok = found & (fails <= 4)
         p_found = i0 + first * sps
         # full-range CFO (see the gradient path / demod.sfd_coarse_cfo)
         sfd_win = sfd_wins[first]
@@ -799,7 +894,17 @@ class DenseReceiver:
         """Detection metrics on packed planes: the single-pass Pallas
         kernel on TPU, the fused XLA planes path elsewhere. The metric is
         conj-invariant (|dot| and energies are unchanged under x -> x*),
-        so downlink (conj) configs use the same kernel."""
+        so downlink (conj) configs use the same kernel. In ``low_snr``
+        mode the coherent dechirp-fold metric replaces the
+        autocorrelation (one MXU contraction over all windows; see
+        frontend.detection_metrics_dechirp)."""
+        if self.low_snr:
+            from .frontend import detection_metrics_dechirp
+
+            if self.cfg.conj:
+                # conj flips the chirp sense: dechirp with the upchirp
+                return detection_metrics_dechirp(xf, self.sps, self._fold_up)
+            return detection_metrics_dechirp(xf, self.sps, self._fold_mat)
         if jax.default_backend() == "tpu":
             from ..ops.pallas_kernels import detection_metrics_pallas
 
@@ -836,7 +941,7 @@ class DenseReceiver:
             metrics = self._metrics_planes(xf)
         corr, e1, e2 = metrics
         starts, s_valid, n_dropped = candidate_starts(
-            corr, 0.90, self.P, suppress=leak_suppression(e1)
+            corr, self._cand_threshold, self.P, suppress=leak_suppression(e1)
         )
         starts = starts + 1  # see process_complex
         s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])
@@ -902,7 +1007,7 @@ class DenseReceiver:
         four are ``[pool]``, ``n_dropped`` is a scalar counting candidates
         lost to per-channel capacity plus valid candidates past the pool."""
         starts, s_valid, chan_drop = candidate_starts(
-            corr, 0.90, per_channel, suppress=leak_suppression(e1)
+            corr, self._cand_threshold, per_channel, suppress=leak_suppression(e1)
         )
         starts = starts + 1  # see process_complex
         s_valid = s_valid & self._tail_ok(starts, L)
@@ -948,9 +1053,18 @@ class DenseReceiver:
         if self.cfg.conj:
             x = jnp.conj(x)
             metrics = None
-        corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
+        if metrics is not None:
+            corr, e1, e2 = metrics
+        elif self.low_snr:
+            from .frontend import detection_metrics_dechirp
+
+            corr, e1, e2 = detection_metrics_dechirp(
+                jnp.stack([jnp.real(x), jnp.imag(x)], axis=-2), sps,
+                self._fold_mat)
+        else:
+            corr, e1, e2 = detection_metrics(x, sps)
         starts, s_valid, n_dropped = candidate_starts(
-            corr, 0.90, self.P, suppress=leak_suppression(e1)
+            corr, self._cand_threshold, self.P, suppress=leak_suppression(e1)
         )  # [..., P]
         # Decode from one window past the rising edge: the edge window
         # may begin slightly before the preamble (leading silence skews
@@ -1001,7 +1115,16 @@ class DenseReceiver:
         if self.cfg.conj:
             x = jnp.conj(x)
             metrics = None
-        corr, e1, e2 = metrics if metrics is not None else detection_metrics(x, sps)
+        if metrics is not None:
+            corr, e1, e2 = metrics
+        elif self.low_snr:
+            from .frontend import detection_metrics_dechirp
+
+            corr, e1, e2 = detection_metrics_dechirp(
+                jnp.stack([jnp.real(x), jnp.imag(x)], axis=-2), sps,
+                self._fold_mat)
+        else:
+            corr, e1, e2 = detection_metrics(x, sps)
         chan, win, lane_valid, snr, n_dropped = self._pool_lanes(
             e1, corr, per_channel, pool, x.shape[-1]
         )
@@ -1061,7 +1184,7 @@ class DenseReceiver:
                 metrics = self._metrics_planes(xf)
                 corr, e1, e2 = metrics
                 starts, s_valid, n_dropped = candidate_starts(
-                    corr, 0.90, self.P, suppress=leak_suppression(e1)
+                    corr, self._cand_threshold, self.P, suppress=leak_suppression(e1)
                 )
                 starts = starts + 1
                 s_valid = s_valid & self._tail_ok(starts, xf.shape[-1])

@@ -343,11 +343,11 @@ def run_suite(
                 kw = ({"max_candidates": 16, "max_symbols": max_symbols}
                       if engine == "dense" else {})
                 if cfg.implicit and engine == "dense":
-                    # the dense engine's implicit energy-stop is evaluated
-                    # on the static window grid, which requires the fft
-                    # demod (DenseReceiver rejects gradient+implicit);
-                    # golden/parity decode implicit with the reference's
-                    # gradient method directly
+                    # implicit dense reports are pinned to the fft engine
+                    # (the throughput path and the auto-selection choice;
+                    # the gradient engine's implicit mode is covered by
+                    # tests/test_implicit_dense.py); golden/parity decode
+                    # implicit with the reference's gradient method
                     kw["demod_method"] = "fft"
                 rx = rx_cache[key] = LoRaReceiver(
                     samp_rate=trace.sample_rate,
