@@ -49,11 +49,16 @@ def cmd_decode_file(args) -> int:
         center = args.center_freq
         channels = [args.center_freq + args.offset]
 
+    # --low-snr: coherent dechirp-fold detection/SFD on the dense fft
+    # engine (docs/perf/sensitivity.md)
+    engine = "dense" if args.low_snr else args.engine
+    kw = {"low_snr": True} if args.low_snr else {}
     rx = LoRaReceiver(
         samp_rate=samp_rate, center_freq=center, channel_list=channels,
         bandwidth=args.bandwidth, sf=sf, implicit=implicit, cr=cr, crc=crc,
         reduced_rate=reduced, conj=args.conj, decimation=args.decimation,
-        disable_drift_correction=args.no_drift_correction, engine=args.engine,
+        disable_drift_correction=args.no_drift_correction, engine=engine,
+        **kw,
     )
     frames = rx.receive(samples)
     sink = MessageSocketSink(args.udp_ip, args.udp_port, args.layer) if args.udp else None
@@ -164,6 +169,10 @@ def main(argv=None) -> int:
     d.add_argument("--decimation", type=int, default=1)
     d.add_argument("--no-drift-correction", action="store_true")
     d.add_argument("--engine", default="golden", choices=["golden", "parity", "dense"])
+    d.add_argument("--low-snr", action="store_true",
+                   help="coherent low-SNR mode (dense fft engine; "
+                        "LoRa-silicon-class sensitivity, see "
+                        "docs/perf/sensitivity.md)")
     d.add_argument("--udp", action="store_true")
     d.add_argument("--udp-ip", default="127.0.0.1")
     d.add_argument("--udp-port", type=int, default=40868)

@@ -159,3 +159,52 @@ def test_back_to_back_minimal_gap_and_dedup_counters():
     assert sr.n_dedup_conflicts == 0
     # any seam re-detections were counted, not silently discarded
     assert sr.n_dedup_suppressed >= 0
+
+
+def test_seam_conflict_crc_replacement():
+    """A CRC-passing later decode replaces a corrupt seam-clipped
+    blocker: flagged (dedup_replacement/replaces), counted once, and
+    the corrupt frame is retracted when still uncollected."""
+    import numpy as np
+
+    from lora_tpu.config import LoRaConfig
+    from lora_tpu.io.frames import Frame, PhyHeader
+    from lora_tpu.rx.dense import DenseReceiver, DenseResult, MAX_PAYLOAD
+    from lora_tpu.stream import StreamingReceiver
+
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
+    rx = DenseReceiver(cfg, max_candidates=2, max_symbols=16, sfd_search=8)
+    sr = StreamingReceiver(rx, block_symbols=64, use_native_ring=False)
+
+    clean = b"\xde\xad\xbe\xef\x80\xec"     # deadbeef + valid CRC
+    corrupt = b"\xde\xad\xbe\xee\x80\xec"   # one payload bit flipped
+    hdr = PhyHeader(length=4, has_mac_crc=1, cr=4)
+    f_old = Frame(phy_header=hdr, payload=corrupt, sample_index=1000)
+    assert f_old.crc_ok is False
+    sr._emitted_starts.append((1000, corrupt, f_old))
+    sr._frames.append(f_old)
+
+    pay = np.zeros((1, 2, MAX_PAYLOAD), np.uint8)
+    pay[0, 0, : len(clean)] = np.frombuffer(clean, np.uint8)
+    res = DenseResult(
+        valid=np.array([[True, False]]),
+        payload=pay,
+        length=np.array([[len(clean), 0]], np.int32),
+        hdr=np.tile(np.frombuffer(hdr.to_bytes(), np.uint8), (1, 2, 1)),
+        snr=np.ones((1, 2), np.float32),
+        start=np.array([[1010, 0]], np.int32),
+        cfo=np.zeros((1, 2), np.float32),
+        n_dropped=np.array([0], np.int32),
+    )
+    sr._pending.append((res, 0, 10**9))
+    sr._drain(0)
+
+    out = sr._collect()
+    assert sr.n_dedup_conflicts == 1
+    assert sr.n_dedup_replaced == 1
+    assert sr.n_dedup_suppressed == 0  # replaced, not suppressed
+    assert f_old not in out
+    assert len(out) == 1
+    f_new = out[0]
+    assert f_new.payload == clean and f_new.crc_ok
+    assert f_new.dedup_replacement and f_new.replaces == 1000
