@@ -24,4 +24,12 @@ def __getattr__(name):  # lazy: avoid importing jax at package import
         from .receiver import LoRaReceiver
 
         return LoRaReceiver
+    if name == "DenseReceiver":
+        from .rx.dense import DenseReceiver
+
+        return DenseReceiver
+    if name == "WidebandReceiver":
+        from .wideband import WidebandReceiver
+
+        return WidebandReceiver
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
