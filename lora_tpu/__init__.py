@@ -32,4 +32,8 @@ def __getattr__(name):  # lazy: avoid importing jax at package import
         from .wideband import WidebandReceiver
 
         return WidebandReceiver
+    if name == "MultiSFWidebandReceiver":
+        from .wideband import MultiSFWidebandReceiver
+
+        return MultiSFWidebandReceiver
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -1,0 +1,93 @@
+"""Gateway-class multi-SF wideband receive.
+
+One PFB pass feeds one DenseReceiver per spreading factor inside a
+single jit (wideband.MultiSFWidebandReceiver) — the capability a
+LoRaWAN gateway has and the reference approximates by fanning the
+stream out to one decoder block per SF (reference
+python/lora_receiver.py:30,53; examples/lora_receive_multi_sf.yml).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lora_tpu.config import LoRaConfig
+from lora_tpu.channelizer import pfb_channel_freqs
+from lora_tpu.tx.modulator import modulate_frame
+from lora_tpu.wideband import MultiSFWidebandReceiver
+
+
+def _band_with_packets(cfg, M, placements, L):
+    """Wideband capture with one packet per (sf, channel, payload)."""
+    wide_rate = M * cfg.samp_rate
+    freqs = pfb_channel_freqs(wide_rate, M)
+    rng = np.random.default_rng(7)
+    x = (rng.normal(0, 1e-4, L) + 1j * rng.normal(0, 1e-4, L)).astype(
+        np.complex64)
+    t = np.arange(L, dtype=np.float64)
+    for sf, chan, payload in placements:
+        wide_cfg = LoRaConfig(sf=sf, cr=cfg.cr, samp_rate=wide_rate,
+                              crc=cfg.crc, bandwidth=cfg.bandwidth)
+        pkt = modulate_frame(wide_cfg, payload, snr_db=None)
+        pos = 2 * wide_cfg.samples_per_symbol
+        assert pos + len(pkt) <= L, (sf, pos + len(pkt), L)
+        x[pos:pos + len(pkt)] += (
+            pkt * np.exp(2j * np.pi * freqs[chan] / wide_rate
+                         * t[pos:pos + len(pkt)])
+        ).astype(np.complex64)
+    return x
+
+
+def test_multi_sf_wideband_decodes_every_sf():
+    M = 8
+    cfg = LoRaConfig(sf=7, cr=1, samp_rate=250e3, crc=True)
+    placements = [(7, 2, b"\x11\x22"), (8, 5, b"\x33\x44"),
+                  (9, 6, b"\x55\x66")]
+    wr = MultiSFWidebandReceiver(cfg, M, sfs=(7, 8, 9), pool=8,
+                                 max_candidates=2, max_symbols=16,
+                                 sfd_search=10, demod_method="fft")
+    # block long enough for the slowest SF's packet + its decode region
+    sps9 = 4 * cfg.samples_per_symbol  # SF9 symbols are 4x SF7's
+    L = (2 * sps9 + 30 * sps9 + wr.max_pkt_samples * 2) * M
+    x = _band_with_packets(cfg, M, placements, L)
+    frames = wr.run(x)
+
+    got = {(f.tap_header.sf, f.channel): f.payload for f in frames}
+    for sf, chan, payload in placements:
+        assert (sf, chan) in got, (sf, chan, sorted(got))
+        assert got[(sf, chan)][: len(payload)] == payload
+    # cross-SF rejection: nothing decoded on (sf, channel) pairs that
+    # carried a different SF's packet
+    for f in frames:
+        assert (f.tap_header.sf, f.channel) in {
+            (sf, ch) for sf, ch, _ in placements
+        }, (f.tap_header.sf, f.channel, f.payload)
+    # channel frequency stamped from the PFB grid
+    freqs = pfb_channel_freqs(M * cfg.samp_rate, M)
+    for f in frames:
+        assert f.tap_header.frequency == int(abs(freqs[f.channel]))
+
+
+def test_multi_sf_requires_sfs():
+    cfg = LoRaConfig(sf=7, cr=1, samp_rate=250e3, crc=True)
+    with pytest.raises(ValueError):
+        MultiSFWidebandReceiver(cfg, 8, sfs=())
+
+
+def test_multi_sf_process_returns_per_sf_results():
+    M = 4
+    cfg = LoRaConfig(sf=7, cr=1, samp_rate=250e3, crc=True)
+    wr = MultiSFWidebandReceiver(cfg, M, sfs=(7, 8), pool=4,
+                                 max_candidates=2, max_symbols=12,
+                                 sfd_search=10, demod_method="fft")
+    L = (wr.max_pkt_samples * 2 + 40 * cfg.samples_per_symbol) * M
+    x = _band_with_packets(cfg, M, [(7, 1, b"\xab")], L)
+    res = jax.device_get(wr.process(x))
+    assert set(res.keys()) == {7, 8}
+    assert np.asarray(res[7].valid).shape == (4,)
+    got = np.asarray(res[7].valid)
+    assert got.any()
+    g = int(np.nonzero(got)[0][0])
+    assert bytes(np.asarray(res[7].payload)[g][:1]) == b"\xab"
+    assert not np.asarray(res[8].valid).any()
