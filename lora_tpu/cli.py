@@ -71,6 +71,54 @@ def cmd_decode_file(args) -> int:
     return 0
 
 
+def cmd_gateway(args) -> int:
+    """Gateway receive: every channel x every SF of a wideband capture.
+
+    The LoRaWAN-gateway listening pattern (all spreading factors on all
+    channels concurrently) the reference has no single-block equivalent
+    for — see wideband.MultiSFWidebandReceiver.
+    """
+    import os
+
+    from .config import LoRaConfig
+    from .io.udp import MessageSocketSink
+    from .wideband import MultiSFWidebandReceiver
+
+    if not os.path.exists(args.file):
+        print(f"error: no such capture file: {args.file}", file=sys.stderr)
+        return 2
+    samples = np.fromfile(args.file, dtype=np.complex64)
+    M = args.channels
+    chan_rate = args.samp_rate / M
+    cfg = LoRaConfig(
+        sf=args.sfs[0], cr=args.cr, samp_rate=chan_rate,
+        bandwidth=args.bandwidth, crc=args.crc, implicit=args.implicit,
+        sync_word=args.sync_word,
+    )
+    kw = {}
+    if args.bf16:
+        import jax.numpy as jnp
+
+        kw["plane_dtype"] = jnp.bfloat16
+    gw = MultiSFWidebandReceiver(
+        cfg, M, sfs=args.sfs, pool=args.pool, demod_method="fft",
+        header_checksum=args.header_checksum, **kw,
+    )
+    frames = gw.run(samples)
+    sink = (MessageSocketSink(args.udp_ip, args.udp_port, args.layer)
+            if args.udp else None)
+    for f in frames:
+        data = f.to_bytes(1)  # LORAPHY layer, like decode-file
+        print(f"ch{f.channel} sf{f.tap_header.sf} "
+              f"{f.tap_header.frequency}Hz "
+              + " ".join(f"{b:02x}" for b in data))
+        if sink:
+            sink.handle(f)
+    print(f"decoded {len(frames)} frames on "
+          f"{len({f.channel for f in frames})} channels", file=sys.stderr)
+    return 0
+
+
 def cmd_testsuite(args) -> int:
     from .testsuite import run_suite
 
@@ -179,6 +227,34 @@ def main(argv=None) -> int:
     d.add_argument("--layer", type=int, default=2)
     d.set_defaults(fn=cmd_decode_file)
 
+    gw = sub.add_parser(
+        "gateway",
+        help="decode every channel x every SF of a raw cf32 wideband capture")
+    gw.add_argument("file", help="raw complex64 wideband capture")
+    gw.add_argument("--samp-rate", type=float, default=2e6,
+                    help="wideband capture rate (channel rate = rate/channels)")
+    gw.add_argument("--channels", type=int, default=8,
+                    help="PFB channel count")
+    gw.add_argument("--sfs", type=int, nargs="+",
+                    default=[7, 8, 9, 10, 11, 12])
+    gw.add_argument("--cr", type=int, default=4)
+    gw.add_argument("--bandwidth", type=float, default=125e3)
+    gw.add_argument("--crc", action=argparse.BooleanOptionalAction,
+                    default=True)
+    gw.add_argument("--implicit", action="store_true")
+    gw.add_argument("--sync-word", type=lambda s: int(s, 0), default=0x00)
+    gw.add_argument("--pool", type=int, default=16,
+                    help="per-SF global candidate pool")
+    gw.add_argument("--bf16", action="store_true",
+                    help="bfloat16 channel planes (halves on-chip bandwidth)")
+    gw.add_argument("--header-checksum", action="store_true",
+                    help="verify the PHY header checksum on rx")
+    gw.add_argument("--udp", action="store_true")
+    gw.add_argument("--udp-ip", default="127.0.0.1")
+    gw.add_argument("--udp-port", type=int, default=40868)
+    gw.add_argument("--layer", type=int, default=2)
+    gw.set_defaults(fn=cmd_gateway)
+
     t = sub.add_parser("testsuite", help="run SigMF test suites")
     t.add_argument("path")
     t.add_argument("suites", nargs="*")
@@ -258,6 +334,7 @@ main_bench = _entry("bench")
 main_analyze = _entry("analyze")
 main_flowgraph = _entry("flowgraph")
 main_timings = _entry("timings")
+main_gateway = _entry("gateway")
 
 
 if __name__ == "__main__":

@@ -54,3 +54,44 @@ def test_gen_suite_and_testsuite_roundtrip(tmp_path):
     rc = main(["testsuite", str(tmp_path), "--nowrite",
                "--min-accuracy", "1.0"])
     assert rc == 0
+
+
+def test_gateway_multi_sf_cf32(tmp_path, capsys):
+    """lora-gateway: all channels x all SFs of one wideband capture."""
+    from lora_tpu.channelizer import pfb_channel_freqs
+
+    M = 8
+    chan_rate = 250e3
+    wide_rate = M * chan_rate
+    freqs = pfb_channel_freqs(wide_rate, M)
+    rng = np.random.default_rng(3)
+    sps9 = int(4 * 2 ** 7 * chan_rate / 125e3)
+    L = M * (40 * sps9)
+    x = (rng.normal(0, 1e-4, L) + 1j * rng.normal(0, 1e-4, L)).astype(
+        np.complex64)
+    t = np.arange(L, dtype=np.float64)
+    for sf, chan, payload in [(7, 2, b"\xca\xfe"), (9, 5, b"\xf0\x0d")]:
+        wcfg = LoRaConfig(sf=sf, cr=4, samp_rate=wide_rate, crc=True)
+        pkt = modulate_frame(wcfg, payload, snr_db=None)
+        pos = 2 * wcfg.samples_per_symbol
+        x[pos:pos + len(pkt)] += (
+            pkt * np.exp(2j * np.pi * freqs[chan] / wide_rate
+                         * t[pos:pos + len(pkt)])
+        ).astype(np.complex64)
+    f = str(tmp_path / "wide.cf32")
+    x.tofile(f)
+
+    rc = main(["gateway", f, "--samp-rate", str(wide_rate),
+               "--channels", str(M), "--sfs", "7", "8", "9",
+               "--pool", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    got = {}
+    for line in out:
+        parts = line.split()
+        chan = int(parts[0][2:])
+        sf = int(parts[1][2:])
+        got[(sf, chan)] = "".join(parts[3:])
+    assert set(got) == {(7, 2), (9, 5)}
+    assert "cafe" in got[(7, 2)]
+    assert "f00d" in got[(9, 5)]
