@@ -91,6 +91,88 @@ def main_wideband(n_channels: int = 1024):
     }))
 
 
+def main_gateway(n_channels: int = 256, sfs=(7, 8, 9, 10, 11, 12)):
+    """Gateway benchmark: every channel x every SF in one jit
+    (``python bench.py --gateway``). Aggregate demod contexts =
+    ``n_channels * len(sfs)`` — the LoRaWAN-gateway listening pattern;
+    the reference runs ONE (channel, SF) context per decoder block.
+    """
+    import jax
+    import jax.numpy as jnp
+    from lora_tpu import LoRaConfig
+    from lora_tpu.wideband import MultiSFWidebandReceiver
+    from lora_tpu.channelizer import pfb_channel_freqs
+    from lora_tpu.tx.modulator import modulate_frame
+    from lora_tpu.ops.xfer import pack_iq
+
+    M = n_channels
+    cfg = LoRaConfig(sf=7, cr=4, samp_rate=250e3, crc=True)
+    wide_rate = M * cfg.samp_rate
+    gw = MultiSFWidebandReceiver(
+        cfg, M, sfs=sfs, pool=48, max_candidates=2,
+        max_symbols=24, sfd_search=12, demod_method="fft",
+        plane_dtype=jnp.bfloat16,
+    )
+    # block sized for the slowest SF's decode region (SF12 at 250 ksps:
+    # sps=8192 channel samples; region cap grows with max_symbols)
+    L = M * (gw.max_pkt_samples + 8 * cfg.samples_per_symbol)
+    rng = np.random.default_rng(0)
+    x = (rng.normal(0, 1e-3, (L, 2)).astype(np.float32)
+         @ np.array([1, 1j], np.complex64)).astype(np.complex64)
+    freqs = pfb_channel_freqs(wide_rate, M)
+    # one packet per active channel, SFs round-robin across channels
+    active = list(range(0, M, max(1, M // 24)))
+    expect = {}
+    for i, c in enumerate(active):
+        sf = sfs[i % len(sfs)]
+        wcfg = LoRaConfig(sf=sf, cr=4, samp_rate=wide_rate, crc=True)
+        pkt = modulate_frame(wcfg, b"\xde\xad\xbe\xef", snr_db=None)
+        pos = 2 * cfg.samples_per_symbol * M
+        if pos + len(pkt) > L:
+            continue
+        t = np.arange(len(pkt)) + pos
+        x[pos:pos + len(pkt)] += (
+            pkt * np.exp(2j * np.pi * freqs[c] / wide_rate * t)
+        ).astype(np.complex64)
+        expect[(sf, c)] = b"\xde\xad\xbe\xef"
+    xd = jax.device_put(pack_iq(x))
+    del x
+    res = gw.process(xd)
+    got = set()
+    for sf in sfs:
+        r = res[sf]
+        v = np.asarray(jax.device_get(r.valid))
+        pay = np.asarray(jax.device_get(r.payload))
+        ch = np.asarray(jax.device_get(r.channel))
+        for g in np.nonzero(v)[0]:
+            if bytes(pay[g][:4]) == b"\xde\xad\xbe\xef":
+                got.add((sf, int(ch[g])))
+    hit = len(got & set(expect))
+    if hit < len(expect):
+        print(f"WARNING: gateway decoded {hit}/{len(expect)} placements",
+              file=sys.stderr)
+    iters = 5
+    dt = float("inf")
+    t_start = time.perf_counter()
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            res = gw.process(xd)
+        np.asarray(res[sfs[0]].valid)
+        dt = min(dt, (time.perf_counter() - t0) / iters)
+        if time.perf_counter() - t_start > 120.0:
+            break
+    msps = L / dt / 1e6
+    print(json.dumps({
+        "metric": f"gateway_{M}ch_{len(sfs)}sf_throughput",
+        "value": round(msps, 1),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / 1.0, 1),
+        "decode_ratio": round(hit / max(1, len(expect)), 3),
+        "demod_contexts": M * len(sfs),
+    }))
+
+
 def main():
     import jax
     from lora_tpu import LoRaConfig
@@ -231,6 +313,10 @@ if __name__ == "__main__":
         sys.argv.remove("--wideband")
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         main_wideband(int(pos[0]) if pos else 1024)
+    elif "--gateway" in sys.argv:
+        sys.argv.remove("--gateway")
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        main_gateway(int(pos[0]) if pos else 256)
     elif "--dense-only" in sys.argv:
         sys.argv.remove("--dense-only")
         main()
@@ -245,4 +331,5 @@ if __name__ == "__main__":
         _subprocess_stage(["--wideband", "256"], 420.0)
         _subprocess_stage(["--wideband", "1024"], 540.0)
         _subprocess_stage(["--wideband", "4096"], 540.0)
+        _subprocess_stage(["--gateway", "256"], 540.0)
         main()
