@@ -288,10 +288,19 @@ class WidebandStreamingReceiver:
     ):
         self.wb = wideband
         M = wideband.M
-        sps = wideband.rx.sps
+        # also accepts a MultiSFWidebandReceiver (gateway mode): the
+        # block/halo geometry is governed by the slowest SF, and _drain
+        # iterates every SF's pooled result (_iter_results)
+        rxs = getattr(wideband, "rxs", None)
+        if rxs is not None:
+            sps = max(r.sps for r in rxs.values())
+            pkt_samples = max(r.pkt_samples for r in rxs.values())
+        else:
+            sps = wideband.rx.sps
+            pkt_samples = wideband.rx.pkt_samples
         self.M = M
         self.hop = block_symbols * sps * M
-        halo_chan = wideband.rx.pkt_samples + 2 * sps
+        halo_chan = pkt_samples + 2 * sps
         self.halo = (halo_chan + wideband.pfb.K + 1) * M
         if self.hop < self.halo:
             raise ValueError(
@@ -304,7 +313,8 @@ class WidebandStreamingReceiver:
         self._pending: List[tuple] = []
         self._abs = 0
         self._frames: List[Frame] = []
-        self._emitted: dict = {}  # channel -> recent (abs start, payload, frame)
+        # (sf, channel) -> recent (abs start, payload, frame)
+        self._emitted: dict = {}
         self._dedup_distance = 16 * sps
         # dedup observability + conflict resolution (see StreamingReceiver)
         self.n_dedup_suppressed = 0
@@ -340,88 +350,104 @@ class WidebandStreamingReceiver:
         self._pending.append((res, abs_offset, own))
         self._drain(self.max_in_flight)
 
+    def _iter_results(self, r):
+        """(result, per-SF config) pairs — one for a plain wideband
+        receiver, one per SF for a gateway (MultiSFWidebandReceiver)."""
+        rxs = getattr(self.wb, "rxs", None)
+        if rxs is None:
+            return [(r, self.wb.cfg)]
+        return [(r[sf], rxs[sf].cfg) for sf in self.wb.sfs]
+
     def _drain(self, keep: int) -> None:
         import jax
 
-        from .io.frames import PhyHeader
-
         while len(self._pending) > keep:
             res, abs_offset, own = self._pending.pop(0)
-            r = jax.device_get(res)
-            valid = np.asarray(r.valid)
-            own_chan = own // self.M
-            pooled = self.wb.pool is not None
-            lanes = np.nonzero(valid)[0] if pooled else zip(*np.nonzero(valid))
-            for lane in lanes:
-                if pooled:
-                    g = int(lane)
-                    chan = int(self.wb.active[int(np.asarray(r.channel)[g])])
-                    start = int(np.asarray(r.start)[g])
-                    sel = (g,)
-                else:
-                    ci, k = (int(v) for v in lane)
-                    chan = int(self.wb.active[ci])
-                    start = int(np.asarray(r.start)[ci, k])
-                    sel = (ci, k)
-                if start >= own_chan:
-                    continue  # owned by a later block
-                abs_start = abs_offset // self.M + start
-                payload = bytes(
-                    np.asarray(r.payload)[sel][: np.asarray(r.length)[sel]]
-                )
-                def make_frame():
-                    f = Frame(
-                        phy_header=PhyHeader.from_bytes(
-                            bytes(np.asarray(r.hdr)[sel])),
-                        payload=payload,
-                        snr=float(np.asarray(r.snr)[sel]),
-                        channel=chan,
-                        sample_index=abs_start,
-                        cfo=float(np.asarray(r.cfo)[sel]),
-                    )
-                    f.tap_header.frequency = int(
-                        abs(self.wb.channel_freqs[chan]))
-                    f.tap_header.sf = self.wb.cfg.sf
-                    f.tap_header.sync_word = self.wb.cfg.sync_word
-                    return f
+            for r, cfg_sf in self._iter_results(jax.device_get(res)):
+                self._emit_result(r, cfg_sf, abs_offset, own)
 
-                seen = self._emitted.setdefault(chan, [])
-                blocker = next(
-                    (s for s in seen
-                     if abs(abs_start - s[0]) < self._dedup_distance), None,
+    def _emit_result(self, r, cfg_sf, abs_offset: int, own: int) -> None:
+        """Claim, dedup and emit one (fetched) block result's frames.
+
+        ``cfg_sf`` is the decoding config (it differs per SF in gateway
+        mode — the SF stamp and the dedup key come from it)."""
+        from .io.frames import PhyHeader
+
+        valid = np.asarray(r.valid)
+        own_chan = own // self.M
+        pooled = self.wb.pool is not None
+        lanes = np.nonzero(valid)[0] if pooled else zip(*np.nonzero(valid))
+        for lane in lanes:
+            if pooled:
+                g = int(lane)
+                chan = int(self.wb.active[int(np.asarray(r.channel)[g])])
+                start = int(np.asarray(r.start)[g])
+                sel = (g,)
+            else:
+                ci, k = (int(v) for v in lane)
+                chan = int(self.wb.active[ci])
+                start = int(np.asarray(r.start)[ci, k])
+                sel = (ci, k)
+            if start >= own_chan:
+                continue  # owned by a later block
+            abs_start = abs_offset // self.M + start
+            payload = bytes(
+                np.asarray(r.payload)[sel][: np.asarray(r.length)[sel]]
+            )
+
+            def make_frame():
+                f = Frame(
+                    phy_header=PhyHeader.from_bytes(
+                        bytes(np.asarray(r.hdr)[sel])),
+                    payload=payload,
+                    snr=float(np.asarray(r.snr)[sel]),
+                    channel=chan,
+                    sample_index=abs_start,
+                    cfo=float(np.asarray(r.cfo)[sel]),
                 )
-                if blocker is not None:
-                    if blocker[1] != payload:
-                        self.n_dedup_conflicts += 1
-                        # CRC-preferenced conflict resolution (see
-                        # StreamingReceiver._drain for the emission and
-                        # flagging semantics)
-                        f_new = make_frame()
-                        f_old = blocker[2]
-                        if f_new.crc_ok and f_old is not None \
-                                and f_old.crc_ok is False:
-                            self.n_dedup_replaced += 1
-                            f_new.dedup_replacement = True
-                            f_new.replaces = f_old.sample_index
-                            try:
-                                self._frames.remove(f_old)
-                            except ValueError:
-                                pass
-                            seen[seen.index(blocker)] = (
-                                abs_start, payload, f_new)
-                            self._frames.append(f_new)
-                            for s in self.sinks:
-                                s.handle(f_new)
-                            continue
-                    self.n_dedup_suppressed += 1
-                    continue
-                f = make_frame()
-                seen.append((abs_start, payload, f))
-                if len(seen) > 64:
-                    del seen[:32]
-                self._frames.append(f)
-                for s in self.sinks:
-                    s.handle(f)
+                f.tap_header.frequency = int(
+                    abs(self.wb.channel_freqs[chan]))
+                f.tap_header.sf = cfg_sf.sf
+                f.tap_header.sync_word = cfg_sf.sync_word
+                return f
+
+            seen = self._emitted.setdefault((cfg_sf.sf, chan), [])
+            blocker = next(
+                (s for s in seen
+                 if abs(abs_start - s[0]) < self._dedup_distance), None,
+            )
+            if blocker is not None:
+                if blocker[1] != payload:
+                    self.n_dedup_conflicts += 1
+                    # CRC-preferenced conflict resolution (see
+                    # StreamingReceiver._drain for the emission and
+                    # flagging semantics)
+                    f_new = make_frame()
+                    f_old = blocker[2]
+                    if f_new.crc_ok and f_old is not None \
+                            and f_old.crc_ok is False:
+                        self.n_dedup_replaced += 1
+                        f_new.dedup_replacement = True
+                        f_new.replaces = f_old.sample_index
+                        try:
+                            self._frames.remove(f_old)
+                        except ValueError:
+                            pass
+                        seen[seen.index(blocker)] = (
+                            abs_start, payload, f_new)
+                        self._frames.append(f_new)
+                        for s in self.sinks:
+                            s.handle(f_new)
+                        continue
+                self.n_dedup_suppressed += 1
+                continue
+            f = make_frame()
+            seen.append((abs_start, payload, f))
+            if len(seen) > 64:
+                del seen[:32]
+            self._frames.append(f)
+            for s in self.sinks:
+                s.handle(f)
 
 
 def stream_file(

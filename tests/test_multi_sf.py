@@ -91,3 +91,53 @@ def test_multi_sf_process_returns_per_sf_results():
     g = int(np.nonzero(got)[0][0])
     assert bytes(np.asarray(res[7].payload)[g][:1]) == b"\xab"
     assert not np.asarray(res[8].valid).any()
+
+
+def test_multi_sf_streaming_gateway():
+    """WidebandStreamingReceiver accepts a MultiSFWidebandReceiver:
+    unbounded wideband stream in, per-SF frames out, seam dedup keyed
+    by (sf, channel)."""
+    from lora_tpu.stream import WidebandStreamingReceiver
+
+    M = 4
+    cfg = LoRaConfig(sf=7, cr=1, samp_rate=250e3, crc=True)
+    gw = MultiSFWidebandReceiver(cfg, M, sfs=(7, 8), pool=8,
+                                 max_candidates=2, max_symbols=14,
+                                 sfd_search=10, demod_method="fft")
+    sr = WidebandStreamingReceiver(gw, block_symbols=40)
+    wide_rate = M * cfg.samp_rate
+    freqs = pfb_channel_freqs(wide_rate, M)
+    sps8 = 2 * cfg.samples_per_symbol
+
+    # three packets, the second placed to straddle a block seam
+    rng = np.random.default_rng(11)
+    L = 3 * sr.hop // 1  # three hops of stream
+    x = (rng.normal(0, 1e-4, L) + 1j * rng.normal(0, 1e-4, L)).astype(
+        np.complex64)
+    t = np.arange(L, dtype=np.float64)
+    placements = []
+    for i, (sf, chan, payload) in enumerate(
+            [(7, 1, b"\x01"), (8, 2, b"\x02"), (7, 3, b"\x03")]):
+        wcfg = LoRaConfig(sf=sf, cr=1, samp_rate=wide_rate, crc=True)
+        pkt = modulate_frame(wcfg, payload, snr_db=None)
+        pos = i * sr.hop + sr.hop - (len(pkt) // 2 if i == 1 else 4 * sps8 * M)
+        pos = max(0, min(pos, L - len(pkt)))
+        x[pos:pos + len(pkt)] += (
+            pkt * np.exp(2j * np.pi * freqs[chan] / wide_rate
+                         * t[pos:pos + len(pkt)])
+        ).astype(np.complex64)
+        placements.append((sf, chan, payload))
+
+    frames = []
+    step = sr.hop // 2
+    for i in range(0, L, step):
+        frames += sr.push(x[i:i + step])
+    frames += sr.flush()
+
+    got = {(f.tap_header.sf, f.channel): f.payload for f in frames}
+    for sf, chan, payload in placements:
+        assert (sf, chan) in got, (sf, chan, sorted(got))
+        assert got[(sf, chan)][: len(payload)] == payload
+    # exactly one frame per placement (seam dedup held per (sf, chan))
+    assert len(frames) == len(placements), [
+        (f.tap_header.sf, f.channel, f.sample_index) for f in frames]
