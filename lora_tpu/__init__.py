@@ -36,4 +36,8 @@ def __getattr__(name):  # lazy: avoid importing jax at package import
         from .wideband import MultiSFWidebandReceiver
 
         return MultiSFWidebandReceiver
+    if name == "PlanGateway":
+        from .plans import PlanGateway
+
+        return PlanGateway
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -85,24 +85,79 @@ def freq_xlating_fir(x, taps, center_offset: float, samp_rate: float,
     return y[::decimation].astype("complex64")
 
 
-def channelize_list(x, taps, offsets_hz, samp_rate: float, decimation: int):
+def make_mixer_table(offsets_hz, samp_rate: float, length: int) -> np.ndarray:
+    """Host-built per-channel mixer table ``exp(-2j pi f/fs n)``,
+    ``[n_channels, length]`` complex64.
+
+    f64 phase accumulation with mod-1 reduction: an on-device float32
+    phase ramp loses ~5 degrees by n=1.7M at typical offsets (f32 ulp of
+    the cycle count), i.e. a growing spur the 53 dB channel filter can't
+    remove — same rationale as the flowgraph device channelizer's cached
+    table."""
+    offs = np.asarray(offsets_hz, dtype=np.float64) / samp_rate
+    n = np.arange(length, dtype=np.float64)
+    ph = (offs[:, None] * n[None, :]) % 1.0
+    return np.exp(-2j * np.pi * ph).astype(np.complex64)
+
+
+def channelize_list(x, taps, offsets_hz, samp_rate: float, decimation: int,
+                    mixers=None):
     """Batched freq-xlating FIR over a list of channel offsets (jax).
 
     ``x``: ``[n]`` complex64; returns ``[n_channels, m]``. Cost scales with
     the channel count — use :class:`PolyphaseChannelizer` for dense grids.
+
+    ``mixers``: optional precomputed ``[n_channels, n]`` complex mixer
+    table (see :func:`make_mixer_table`); pass it for long blocks —
+    the on-device fallback computes the phase ramp in float32, which is
+    fine to ~100k samples and degrades (slowly, as a phase spur) beyond.
+
+    The FIR is computed as real-tap convolutions of the mixed signal's
+    real/imag planes (a complex convolution lowers poorly on some TPU
+    runtimes and buys nothing for real taps).
     """
     x = jnp.asarray(x, dtype=jnp.complex64)
-    offs = jnp.asarray(np.asarray(offsets_hz, dtype=np.float64) / samp_rate)
-    n = jnp.arange(x.shape[-1])
-    mixers = jnp.exp(-2j * np.pi * offs[:, None] * n[None, :]).astype(jnp.complex64)
+    if mixers is None:
+        offs = jnp.asarray(np.asarray(offsets_hz, np.float64) / samp_rate)
+        n = jnp.arange(x.shape[-1])
+        mixers = jnp.exp(
+            -2j * np.pi * offs[:, None] * n[None, :]).astype(jnp.complex64)
+    else:
+        mixers = jnp.asarray(mixers, dtype=jnp.complex64)
     mixed = mixers * x[None, :]
     t = jnp.asarray(taps[::-1].copy(), dtype=jnp.float32)
 
     def conv1(row):
         return jnp.convolve(row, t, mode="valid")
 
-    y = jax.vmap(conv1)(mixed)
+    yr = jax.vmap(conv1)(jnp.real(mixed))
+    yi = jax.vmap(conv1)(jnp.imag(mixed))
+    y = jax.lax.complex(yr, yi)
     return y[:, ::decimation].astype(jnp.complex64)
+
+
+def channelize_list_planes(xf, taps, mixer_planes, decimation: int):
+    """Packed-plane form of :func:`channelize_list` — the TPU entry.
+
+    ``xf``: packed IQ ``[2, L]`` float32; ``mixer_planes``: host-built
+    ``[C, 2, L]`` float32 (real/imag of :func:`make_mixer_table`).
+    Returns packed channel planes ``[C, 2, m]``. Complex64 never crosses
+    the host<->device boundary (unsupported on some TPU runtimes — see
+    lora_tpu.ops.xfer) and the FIR runs as real-tap convolutions per
+    plane.
+    """
+    xr, xi = xf[0], xf[1]
+    mr, mi = mixer_planes[:, 0], mixer_planes[:, 1]     # [C, L]
+    mixed_r = mr * xr[None, :] - mi * xi[None, :]
+    mixed_i = mr * xi[None, :] + mi * xr[None, :]
+    t = jnp.asarray(taps[::-1].copy(), dtype=jnp.float32)
+
+    def conv1(row):
+        return jnp.convolve(row, t, mode="valid")
+
+    yr = jax.vmap(conv1)(mixed_r)[:, ::decimation]
+    yi = jax.vmap(conv1)(mixed_i)[:, ::decimation]
+    return jnp.stack([yr, yi], axis=1)
 
 
 def fractional_resampler(x, ratio: float, ntaps: int = 8,

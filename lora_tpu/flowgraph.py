@@ -464,13 +464,23 @@ class StreamingLoRaReceiver:
 
         @jax.jit
         def run(block, phases, mixers):
-            # phases: per-channel carrier phase at the block head (chunk
-            # continuity); mixers: host-built f64-accurate per-channel
-            # mixer table for one block length (cached across blocks,
-            # rebuilt only on CFO retune)
-            mixed = (phases[:, None] * mixers) * block[None, :]
-            y = jax.vmap(lambda r: jnp.convolve(r, t, mode="valid"))(mixed)
-            return y[:, ::D].astype(jnp.complex64)
+            # All arguments/results are packed float32 planes — complex64
+            # cannot cross the host<->device boundary on some TPU
+            # runtimes (see ops/xfer). block: [2, L]; phases: [C, 2]
+            # per-channel carrier phase at the block head (chunk
+            # continuity); mixers: [C, 2, L] host-built f64-accurate
+            # per-channel table (cached across blocks, rebuilt only on
+            # CFO retune). Returns [C, 2, m].
+            mr = (phases[:, 0, None] * mixers[:, 0]
+                  - phases[:, 1, None] * mixers[:, 1])     # [C, L]
+            mi = (phases[:, 0, None] * mixers[:, 1]
+                  + phases[:, 1, None] * mixers[:, 0])
+            xr, xi = block[0], block[1]
+            mixed_r = mr * xr[None, :] - mi * xi[None, :]
+            mixed_i = mr * xi[None, :] + mi * xr[None, :]
+            conv = jax.vmap(lambda r: jnp.convolve(r, t, mode="valid"))
+            return jnp.stack(
+                [conv(mixed_r)[:, ::D], conv(mixed_i)[:, ::D]], axis=1)
 
         return run
 
@@ -483,8 +493,10 @@ class StreamingLoRaReceiver:
             import jax.numpy as jnp
 
             n = np.arange(length, dtype=np.float64)
-            table = np.exp(-2j * np.pi * offs_norm[:, None] * n[None, :])
-            self._dev_mixers = jnp.asarray(table.astype(np.complex64))
+            ph = (offs_norm[:, None] * n[None, :]) % 1.0
+            table = np.exp(-2j * np.pi * ph)
+            self._dev_mixers = jnp.asarray(np.stack(
+                [table.real, table.imag], axis=1).astype(np.float32))
             self._dev_mixer_key = key
         return self._dev_mixers
 
@@ -511,12 +523,14 @@ class StreamingLoRaReceiver:
             if len(raw) < L:  # final partial block: pad up, trim after
                 n_valid = -(-(len(raw) - ntaps + 1) // self.decimation)
                 raw = np.pad(raw, (0, L - len(raw)))
-            phases = np.exp(
-                -2j * np.pi * offs * float(self._dev_head)
-            ).astype(np.complex64)
-            y = np.asarray(self._dev_run(
-                jnp.asarray(raw), jnp.asarray(phases),
+            ph = np.exp(-2j * np.pi * ((offs * float(self._dev_head)) % 1.0))
+            phases = np.stack([ph.real, ph.imag], axis=1).astype(np.float32)
+            from .ops.xfer import pack_iq
+
+            yp = np.asarray(self._dev_run(
+                jnp.asarray(pack_iq(raw)), jnp.asarray(phases),
                 self._dev_mixer_table(offs, L)))
+            y = (yp[:, 0] + 1j * yp[:, 1]).astype(np.complex64)
             if n_valid is not None:
                 y = y[:, :max(n_valid, 0)]
                 self._dev_pending = self._dev_pending[:0]

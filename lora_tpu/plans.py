@@ -1,0 +1,197 @@
+"""LoRaWAN regional channel plans: gateway receive on real deployments.
+
+The reference takes a ``channel_list`` of absolute frequencies but only
+ever extracts the first one (reference ``lib/channelizer_impl.cc:47``,
+``grc/lora_receiver.block.yml`` channel_list param). :class:`PlanGateway`
+honours the whole list — every plan channel × every data-rate SF decoded
+in one compiled program.
+
+Why not the PFB here: LoRaWAN plans space channels 200 kHz apart, and a
+critically-sampled polyphase filterbank forces channel rate = spacing —
+at 200 ksps the LoRa symbol is ``2^sf * 200/125`` samples, which is not
+an integer for any SF, so plan channels can never sit on a PFB grid that
+the decoder can consume. An 8-64-channel plan is exactly the regime
+where the batched frequency-translating FIR (`channelizer.channelize_list`,
+the vectorised form of the reference's one-channel
+``freq_xlating_fir_filter``) is the right tool: cost scales with the
+channel count, but the count is small and every channel lands at a
+decoder-legal rate (default 250 ksps, decimation 2). Dense channel grids
+on the PFB-legal spacing stay with
+:class:`~lora_tpu.wideband.MultiSFWidebandReceiver`.
+
+Plan constants are the published LoRaWAN regional parameters (uplink
+125 kHz channels): EU868 = the 3 mandatory + 5 conventional extension
+channels; US915 = 64 uplink channels at 200 kHz spacing; AU915 mirrors
+US915 shifted to 915.2 MHz.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from .config import LoRaConfig
+from .io.frames import Frame
+
+# Uplink 125 kHz channel center frequencies [Hz].
+EU868 = tuple(868.1e6 + 0.2e6 * i for i in range(3)) + tuple(
+    867.1e6 + 0.2e6 * i for i in range(5)
+)
+US915 = tuple(902.3e6 + 0.2e6 * i for i in range(64))
+AU915 = tuple(915.2e6 + 0.2e6 * i for i in range(64))
+
+PLANS = {"EU868": EU868, "US915": US915, "AU915": AU915}
+
+
+class PlanGateway:
+    """Every channel of a LoRaWAN regional plan × every SF, one jit.
+
+    ``plan``: a plan name (``"EU868"``/``"US915"``/``"AU915"``) or a
+    sequence of absolute channel frequencies [Hz]. Channels outside the
+    captured band ``center_freq ± samp_rate/2`` are skipped (a 64-channel
+    US915 plan against an 8 MHz capture listens on the 8 channels in
+    band).
+
+    ``samp_rate`` must be an integer multiple of ``chan_rate`` (the
+    decimated per-channel rate; 250 ksps default = decimation 2 against
+    the 125 kHz LoRa bandwidth, the validated wideband geometry).
+    ``sync_word`` defaults to 0x34 (public LoRaWAN).
+    """
+
+    def __init__(
+        self,
+        plan,
+        center_freq: float,
+        samp_rate: float,
+        chan_rate: float = 250e3,
+        sfs: Sequence[int] = (7, 8, 9, 10, 11, 12),
+        bandwidth: float = 125e3,
+        cr: int = 4,
+        crc: bool = True,
+        sync_word: int = 0x34,
+        pool: Optional[int] = None,
+        transition_hz: Optional[float] = None,
+        **dense_kwargs,
+    ):
+        import jax
+
+        from .channelizer import channelize_list_planes, firdes_low_pass
+        from .rx.dense import DenseReceiver
+
+        if isinstance(plan, str):
+            try:
+                plan = PLANS[plan.upper()]
+            except KeyError:
+                raise ValueError(
+                    f"unknown plan {plan!r}; known: {sorted(PLANS)}"
+                ) from None
+        decim = int(round(samp_rate / chan_rate))
+        if abs(samp_rate - decim * chan_rate) > 1e-6 or decim < 1:
+            raise ValueError(
+                f"samp_rate {samp_rate} is not an integer multiple of "
+                f"chan_rate {chan_rate}")
+        self.center_freq = float(center_freq)
+        self.samp_rate = float(samp_rate)
+        self.chan_rate = float(chan_rate)
+        self.decim = decim
+        guard = chan_rate / 2.0
+        self.channels: List[float] = [
+            float(f) for f in plan
+            if abs(f - center_freq) <= samp_rate / 2.0 - guard
+        ]
+        if not self.channels:
+            raise ValueError(
+                "no plan channel falls inside the captured band "
+                f"[{(center_freq - samp_rate/2)/1e6:.3f}, "
+                f"{(center_freq + samp_rate/2)/1e6:.3f}] MHz")
+        self.offsets = np.asarray(
+            [f - center_freq for f in self.channels], dtype=np.float64)
+        # channel filter: reference cutoff (bw/2 + 15k,
+        # lib/channelizer_impl.cc:46) with the transition relaxed to
+        # chan_rate/4 — the reference's fixed 10 kHz transition costs
+        # ~2000 taps at 8 Msps for no decode benefit (same trade as
+        # PolyphaseChannelizer.for_lora), and sub-512-tap kernels keep
+        # the conv compile-friendly on the remote toolchain
+        self.taps = firdes_low_pass(
+            1.0, samp_rate, bandwidth / 2.0 + 15000.0,
+            transition_hz if transition_hz is not None else chan_rate / 4.0,
+        )
+        cfg = LoRaConfig(sf=min(sfs), cr=cr, samp_rate=chan_rate,
+                         bandwidth=bandwidth, crc=crc, sync_word=sync_word)
+        self.cfg = cfg
+        self.sfs = tuple(int(s) for s in sfs)
+        self.pool = int(pool) if pool is not None else max(
+            8, 2 * len(self.channels))
+        self.rxs: Dict[int, "DenseReceiver"] = {
+            sf: DenseReceiver(dataclasses.replace(cfg, sf=sf), **dense_kwargs)
+            for sf in self.sfs
+        }
+
+        def process(xf, mixer_planes):
+            """packed wideband ``[2, L]`` + mixer planes ``[C, 2, L]`` ->
+            {sf: PooledResult}. (Packed because complex64 can't cross
+            the host<->device boundary on some TPU runtimes — see
+            lora_tpu.ops.xfer.)"""
+            cp = channelize_list_planes(
+                xf, self.taps, mixer_planes, self.decim)
+            return {
+                sf: rx.process_pooled_planes(cp, self.pool)
+                for sf, rx in self.rxs.items()
+            }
+
+        self.process_fn = process
+        self._process = jax.jit(process)
+        self._mixer_cache = {}  # length -> host mixer planes [C, 2, L]
+
+    # ------------------------------------------------------------------
+    @property
+    def max_pkt_samples(self) -> int:
+        return max(rx.pkt_samples for rx in self.rxs.values())
+
+    def process(self, x):
+        """``x``: host complex wideband IQ ``[L]`` (or packed float32
+        ``[2, L]`` / device array) -> ``{sf: PooledResult}``. Host
+        complex input is padded by the largest SF's packet region (at
+        the wideband rate) so tail packets keep a full decode region."""
+        import jax
+
+        from .channelizer import make_mixer_table
+        from .ops.xfer import pack_iq
+
+        if not isinstance(x, jax.Array):
+            x = np.asarray(x)
+            if np.iscomplexobj(x):
+                x = np.pad(x.astype(np.complex64),
+                           (0, self.max_pkt_samples * self.decim))
+                x = pack_iq(x)
+        L = x.shape[-1]
+        if L not in self._mixer_cache:
+            # f64-accurate host mixers (an f32 on-device ramp drifts ~5
+            # deg by n=1.7M); keyed by block length, so repeated
+            # equal-length blocks reuse both the table and the compile
+            m = make_mixer_table(self.offsets, self.samp_rate, L)
+            self._mixer_cache = {
+                L: np.stack([m.real, m.imag], axis=1).astype(np.float32)}
+        return self._process(x, self._mixer_cache[L])
+
+    def run(self, x) -> List[Frame]:
+        """Decode; frames carry the plan channel index, its absolute
+        frequency and the SF they decoded at."""
+        import jax
+
+        from .wideband import _frames_from_pooled
+
+        results = jax.device_get(self.process(x))
+        frames: List[Frame] = []
+        idx = np.arange(len(self.channels))
+        for sf in self.sfs:
+            fs = _frames_from_pooled(
+                results[sf], idx, self.rxs[sf].cfg,
+                np.zeros(len(self.channels)))
+            for f in fs:
+                f.tap_header.frequency = int(self.channels[f.channel])
+            frames.extend(fs)
+        frames.sort(key=lambda f: (f.channel, f.sample_index))
+        return frames
