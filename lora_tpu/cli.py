@@ -88,22 +88,34 @@ def cmd_gateway(args) -> int:
         print(f"error: no such capture file: {args.file}", file=sys.stderr)
         return 2
     samples = np.fromfile(args.file, dtype=np.complex64)
-    M = args.channels
-    chan_rate = args.samp_rate / M
-    cfg = LoRaConfig(
-        sf=args.sfs[0], cr=args.cr, samp_rate=chan_rate,
-        bandwidth=args.bandwidth, crc=args.crc, implicit=args.implicit,
-        sync_word=args.sync_word,
-    )
-    kw = {}
-    if args.bf16:
-        import jax.numpy as jnp
+    if args.plan:
+        # LoRaWAN regional plan: mixer-bank channelizer on the 200 kHz
+        # raster (see lora_tpu.plans); frequencies are absolute
+        from .plans import PlanGateway
 
-        kw["plane_dtype"] = jnp.bfloat16
-    gw = MultiSFWidebandReceiver(
-        cfg, M, sfs=args.sfs, pool=args.pool, demod_method="fft",
-        header_checksum=args.header_checksum, **kw,
-    )
+        gw = PlanGateway(
+            args.plan, args.center_freq, args.samp_rate,
+            sfs=tuple(args.sfs), bandwidth=args.bandwidth, cr=args.cr,
+            crc=args.crc, sync_word=args.sync_word, pool=args.pool,
+            header_checksum=args.header_checksum, demod_method="fft",
+        )
+    else:
+        M = args.channels
+        chan_rate = args.samp_rate / M
+        cfg = LoRaConfig(
+            sf=args.sfs[0], cr=args.cr, samp_rate=chan_rate,
+            bandwidth=args.bandwidth, crc=args.crc, implicit=args.implicit,
+            sync_word=args.sync_word,
+        )
+        kw = {}
+        if args.bf16:
+            import jax.numpy as jnp
+
+            kw["plane_dtype"] = jnp.bfloat16
+        gw = MultiSFWidebandReceiver(
+            cfg, M, sfs=args.sfs, pool=args.pool, demod_method="fft",
+            header_checksum=args.header_checksum, **kw,
+        )
     frames = gw.run(samples)
     sink = (MessageSocketSink(args.udp_ip, args.udp_port, args.layer)
             if args.udp else None)
@@ -235,6 +247,10 @@ def main(argv=None) -> int:
                     help="wideband capture rate (channel rate = rate/channels)")
     gw.add_argument("--channels", type=int, default=8,
                     help="PFB channel count")
+    gw.add_argument("--plan", default=None,
+                    help="LoRaWAN regional plan (EU868/US915/AU915) "
+                         "instead of a PFB grid; needs --center-freq")
+    gw.add_argument("--center-freq", type=float, default=868.3e6)
     gw.add_argument("--sfs", type=int, nargs="+",
                     default=[7, 8, 9, 10, 11, 12])
     gw.add_argument("--cr", type=int, default=4)

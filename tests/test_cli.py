@@ -95,3 +95,32 @@ def test_gateway_multi_sf_cf32(tmp_path, capsys):
     assert set(got) == {(7, 2), (9, 5)}
     assert "cafe" in got[(7, 2)]
     assert "f00d" in got[(9, 5)]
+
+
+def test_gateway_plan_eu868(tmp_path, capsys):
+    """lora-gateway --plan EU868: regional-plan receive from the shell."""
+    center, rate = 868.3e6, 2e6
+    rng = np.random.default_rng(9)
+    L = 40 * int(2 ** 8 * rate / 125e3)
+    x = (rng.normal(0, 1e-4, L) + 1j * rng.normal(0, 1e-4, L)).astype(
+        np.complex64)
+    t = np.arange(L, dtype=np.float64)
+    wcfg = LoRaConfig(sf=7, cr=4, samp_rate=rate, crc=True, sync_word=0x34)
+    pkt = modulate_frame(wcfg, b"\xaa\x55", snr_db=None)
+    pos = 2 * wcfg.samples_per_symbol
+    off = 868.1e6 - center
+    x[pos:pos + len(pkt)] += (
+        pkt * np.exp(2j * np.pi * off / rate * t[pos:pos + len(pkt)])
+    ).astype(np.complex64)
+    f = str(tmp_path / "plan.cf32")
+    x.tofile(f)
+
+    rc = main(["gateway", f, "--plan", "EU868", "--center-freq",
+               str(center), "--samp-rate", str(rate), "--sfs", "7",
+               "--pool", "8"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) == 1
+    parts = out[0].split()
+    assert parts[1] == "sf7" and parts[2] == "868100000Hz"
+    assert "".join(parts[3:]).find("aa55") >= 0
