@@ -114,8 +114,13 @@ def main_gateway(n_channels: int = 256, sfs=(7, 8, 9, 10, 11, 12)):
         plane_dtype=jnp.bfloat16,
     )
     # block sized for the slowest SF's decode region (SF12 at 250 ksps:
-    # sps=8192 channel samples; region cap grows with max_symbols)
-    L = M * (gw.max_pkt_samples + 8 * cfg.samples_per_symbol)
+    # sps=8192 channel samples; region cap grows with max_symbols) plus
+    # the placement lead-in below
+    max_sps = max(rx.sps for rx in gw.rxs.values())
+    # 2-symbol lead-in + a few windows of slack past the decode region:
+    # the slowest SF's candidate (start window ~3 after the +1 shift)
+    # must satisfy start*sps + pkt_samples <= L/M with margin
+    L = M * (gw.max_pkt_samples + 6 * max_sps)
     rng = np.random.default_rng(0)
     x = (rng.normal(0, 1e-3, (L, 2)).astype(np.float32)
          @ np.array([1, 1j], np.complex64)).astype(np.complex64)
@@ -127,7 +132,9 @@ def main_gateway(n_channels: int = 256, sfs=(7, 8, 9, 10, 11, 12)):
         sf = sfs[i % len(sfs)]
         wcfg = LoRaConfig(sf=sf, cr=4, samp_rate=wide_rate, crc=True)
         pkt = modulate_frame(wcfg, b"\xde\xad\xbe\xef", snr_db=None)
-        pos = 2 * cfg.samples_per_symbol * M
+        # two symbols of THIS SF's lead-in: a packet starting inside
+        # detection window 0 of its own symbol grid has no rising edge
+        pos = 2 * wcfg.samples_per_symbol
         if pos + len(pkt) > L:
             continue
         t = np.arange(len(pkt)) + pos
