@@ -94,10 +94,28 @@ def make_mixer_table(offsets_hz, samp_rate: float, length: int) -> np.ndarray:
     the cycle count), i.e. a growing spur the 53 dB channel filter can't
     remove — same rationale as the flowgraph device channelizer's cached
     table."""
+    planes = make_mixer_planes(offsets_hz, samp_rate, length)
+    return (planes[:, 0] + 1j * planes[:, 1]).astype(np.complex64)
+
+
+def make_mixer_planes(offsets_hz, samp_rate: float, length: int,
+                      chunk: int = 1 << 20) -> np.ndarray:
+    """:func:`make_mixer_table` as packed float32 planes
+    ``[n_channels, 2, length]`` (the TPU boundary format).
+
+    Built chunk-wise so the f64 phase intermediate stays bounded
+    (``n_channels * chunk * 8`` bytes) — the table itself is inherently
+    ``O(n_channels * length)``; for long captures channelize in blocks
+    instead of growing this."""
     offs = np.asarray(offsets_hz, dtype=np.float64) / samp_rate
-    n = np.arange(length, dtype=np.float64)
-    ph = (offs[:, None] * n[None, :]) % 1.0
-    return np.exp(-2j * np.pi * ph).astype(np.complex64)
+    C = len(offs)
+    out = np.empty((C, 2, length), dtype=np.float32)
+    for s in range(0, length, chunk):
+        n = np.arange(s, min(s + chunk, length), dtype=np.float64)
+        ph = -2.0 * np.pi * ((offs[:, None] * n[None, :]) % 1.0)
+        out[:, 0, s:s + len(n)] = np.cos(ph)
+        out[:, 1, s:s + len(n)] = np.sin(ph)
+    return out
 
 
 def channelize_list(x, taps, offsets_hz, samp_rate: float, decimation: int,

@@ -93,11 +93,18 @@ def cmd_gateway(args) -> int:
         # raster (see lora_tpu.plans); frequencies are absolute
         from .plans import PlanGateway
 
+        if args.bf16:
+            print("warning: --bf16 applies to the PFB channel planes; "
+                  "the plan gateway's mixer-bank path ignores it",
+                  file=sys.stderr)
         gw = PlanGateway(
             args.plan, args.center_freq, args.samp_rate,
             sfs=tuple(args.sfs), bandwidth=args.bandwidth, cr=args.cr,
-            crc=args.crc, sync_word=args.sync_word, pool=args.pool,
-            header_checksum=args.header_checksum, demod_method="fft",
+            crc=args.crc, implicit=args.implicit,
+            # class default 0x34 (public LoRaWAN) unless the user set one
+            sync_word=0x34 if args.sync_word is None else args.sync_word,
+            pool=args.pool, header_checksum=args.header_checksum,
+            demod_method="fft",
         )
     else:
         M = args.channels
@@ -105,7 +112,7 @@ def cmd_gateway(args) -> int:
         cfg = LoRaConfig(
             sf=args.sfs[0], cr=args.cr, samp_rate=chan_rate,
             bandwidth=args.bandwidth, crc=args.crc, implicit=args.implicit,
-            sync_word=args.sync_word,
+            sync_word=args.sync_word or 0x00,
         )
         kw = {}
         if args.bf16:
@@ -258,7 +265,9 @@ def main(argv=None) -> int:
     gw.add_argument("--crc", action=argparse.BooleanOptionalAction,
                     default=True)
     gw.add_argument("--implicit", action="store_true")
-    gw.add_argument("--sync-word", type=lambda s: int(s, 0), default=0x00)
+    gw.add_argument("--sync-word", type=lambda s: int(s, 0), default=None,
+                    help="radio sync word (default 0x00; 0x34 in --plan "
+                         "mode = public LoRaWAN)")
     gw.add_argument("--pool", type=int, default=16,
                     help="per-SF global candidate pool")
     gw.add_argument("--bf16", action="store_true",

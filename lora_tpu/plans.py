@@ -70,6 +70,7 @@ class PlanGateway:
         bandwidth: float = 125e3,
         cr: int = 4,
         crc: bool = True,
+        implicit: bool = False,
         sync_word: int = 0x34,
         pool: Optional[int] = None,
         transition_hz: Optional[float] = None,
@@ -119,7 +120,8 @@ class PlanGateway:
             transition_hz if transition_hz is not None else chan_rate / 4.0,
         )
         cfg = LoRaConfig(sf=min(sfs), cr=cr, samp_rate=chan_rate,
-                         bandwidth=bandwidth, crc=crc, sync_word=sync_word)
+                         bandwidth=bandwidth, crc=crc, implicit=implicit,
+                         sync_word=sync_word)
         self.cfg = cfg
         self.sfs = tuple(int(s) for s in sfs)
         self.pool = int(pool) if pool is not None else max(
@@ -157,7 +159,7 @@ class PlanGateway:
         the wideband rate) so tail packets keep a full decode region."""
         import jax
 
-        from .channelizer import make_mixer_table
+        from .channelizer import make_mixer_planes
         from .ops.xfer import pack_iq
 
         if not isinstance(x, jax.Array):
@@ -169,11 +171,13 @@ class PlanGateway:
         L = x.shape[-1]
         if L not in self._mixer_cache:
             # f64-accurate host mixers (an f32 on-device ramp drifts ~5
-            # deg by n=1.7M); keyed by block length, so repeated
-            # equal-length blocks reuse both the table and the compile
-            m = make_mixer_table(self.offsets, self.samp_rate, L)
-            self._mixer_cache = {
-                L: np.stack([m.real, m.imag], axis=1).astype(np.float32)}
+            # deg by n=1.7M); keyed by block length so repeated block
+            # lengths reuse table + compile, capped at two entries
+            # (steady block + final partial) to bound host memory
+            if len(self._mixer_cache) >= 2:
+                self._mixer_cache.pop(next(iter(self._mixer_cache)))
+            self._mixer_cache[L] = make_mixer_planes(
+                self.offsets, self.samp_rate, L)
         return self._process(x, self._mixer_cache[L])
 
     def run(self, x) -> List[Frame]:

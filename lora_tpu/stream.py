@@ -315,7 +315,10 @@ class WidebandStreamingReceiver:
         self._frames: List[Frame] = []
         # (sf, channel) -> recent (abs start, payload, frame)
         self._emitted: dict = {}
-        self._dedup_distance = 16 * sps
+        # seam dedup uses a 16-symbol window of the *decoding* SF
+        # (computed per result in _emit_result — a gateway's slowest-SF
+        # sps here would make the window ~0.5 s at SF12 and swallow
+        # legitimate closely-spaced SF7 traffic)
         # dedup observability + conflict resolution (see StreamingReceiver)
         self.n_dedup_suppressed = 0
         self.n_dedup_conflicts = 0
@@ -412,9 +415,10 @@ class WidebandStreamingReceiver:
                 return f
 
             seen = self._emitted.setdefault((cfg_sf.sf, chan), [])
+            dedup_distance = 16 * cfg_sf.samples_per_symbol
             blocker = next(
                 (s for s in seen
-                 if abs(abs_start - s[0]) < self._dedup_distance), None,
+                 if abs(abs_start - s[0]) < dedup_distance), None,
             )
             if blocker is not None:
                 if blocker[1] != payload:

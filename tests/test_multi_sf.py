@@ -141,3 +141,43 @@ def test_multi_sf_streaming_gateway():
     # exactly one frame per placement (seam dedup held per (sf, chan))
     assert len(frames) == len(placements), [
         (f.tap_header.sf, f.channel, f.sample_index) for f in frames]
+
+
+def test_multi_sf_streaming_dedup_is_per_sf():
+    """Two distinct SF7 packets ~26 SF7 symbols apart must BOTH emit in
+    gateway mode: the seam-dedup window is 16 symbols of the decoding
+    SF, not of the gateway's slowest SF (16 slowest-SF symbols — here
+    SF10, 32k channel samples — would swallow the second packet; at a
+    real gateway's SF12 the window would be ~0.5 s)."""
+    from lora_tpu.stream import WidebandStreamingReceiver
+
+    M = 4
+    cfg = LoRaConfig(sf=7, cr=1, samp_rate=250e3, crc=True)
+    gw = MultiSFWidebandReceiver(cfg, M, sfs=(7, 10), pool=8,
+                                 max_candidates=4, max_symbols=14,
+                                 sfd_search=10, demod_method="fft")
+    sr = WidebandStreamingReceiver(gw, block_symbols=44)  # SF10 symbols
+    wide_rate = M * cfg.samp_rate
+    freqs = pfb_channel_freqs(wide_rate, M)
+    sps7w = 2 ** 7 * int(wide_rate / 125e3)  # SF7 symbol at wide rate
+
+    rng = np.random.default_rng(13)
+    L = 2 * sr.hop
+    x = (rng.normal(0, 1e-4, L) + 1j * rng.normal(0, 1e-4, L)).astype(
+        np.complex64)
+    t = np.arange(L, dtype=np.float64)
+    wcfg = LoRaConfig(sf=7, cr=1, samp_rate=wide_rate, crc=True)
+    for i, payload in enumerate([b"\x0a", b"\x0b"]):
+        pkt = modulate_frame(wcfg, payload, snr_db=None)
+        pos = 2 * sps7w + i * (len(pkt) + 4 * sps7w)
+        assert pos + len(pkt) < sr.hop  # both inside the first block
+        x[pos:pos + len(pkt)] += (
+            pkt * np.exp(2j * np.pi * freqs[1] / wide_rate
+                         * t[pos:pos + len(pkt)])
+        ).astype(np.complex64)
+
+    frames = sr.push(x)
+    frames += sr.flush()
+    sf7 = [f for f in frames if f.tap_header.sf == 7 and f.channel == 1]
+    assert {f.payload[:1] for f in sf7} == {b"\x0a", b"\x0b"}, [
+        (f.sample_index, f.payload.hex()) for f in frames]
