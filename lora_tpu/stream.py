@@ -30,6 +30,62 @@ from .ops.xfer import pack_iq
 from .rx.dense import DenseReceiver
 
 
+def _dedup_and_emit(rx, seen, abs_start: int, payload: bytes, make_frame,
+                    dedup_distance: int):
+    """Seam dedup + CRC-preferenced conflict resolution, shared by the
+    streaming receivers.
+
+    A packet whose rising edge is clipped by a block boundary re-detects
+    in the next block at a slightly different start — a prior emission
+    (``seen`` entry) within ``dedup_distance`` suppresses the
+    re-detection (the first block, which saw the unclipped preamble,
+    wins). If the suppressed decode's payload DIFFERS it is counted as a
+    conflict; and if the later decode passes the MAC CRC while the
+    blocker failed it, the clean frame is emitted as a CORRECTION —
+    retracted from the pending list when the caller hasn't collected the
+    corrupt one yet, otherwise delivered as a second emission flagged
+    ``dedup_replacement`` + ``replaces`` (the corrupt frame may already
+    be downstream; consumers correlate via the flag rather than silently
+    receiving a duplicate).
+
+    ``rx`` provides ``_frames``/``sinks`` and the dedup counters;
+    ``seen`` is the mutable recent-emissions list for this
+    (sf, channel); returns the emitted Frame or None.
+    """
+    blocker = next(
+        (s for s in seen if abs(abs_start - s[0]) < dedup_distance), None,
+    )
+    if blocker is not None:
+        if blocker[1] != payload:
+            rx.n_dedup_conflicts += 1
+            f_new = make_frame()
+            f_old = blocker[2]
+            if f_new.crc_ok and f_old is not None \
+                    and f_old.crc_ok is False:
+                rx.n_dedup_replaced += 1
+                f_new.dedup_replacement = True
+                f_new.replaces = f_old.sample_index
+                try:
+                    rx._frames.remove(f_old)
+                except ValueError:
+                    pass  # already collected by the caller
+                seen[seen.index(blocker)] = (abs_start, payload, f_new)
+                rx._frames.append(f_new)
+                for s in rx.sinks:
+                    s.handle(f_new)
+                return f_new
+        rx.n_dedup_suppressed += 1
+        return None
+    f = make_frame()
+    seen.append((abs_start, payload, f))
+    if len(seen) > 64:
+        del seen[:32]
+    rx._frames.append(f)
+    for s in rx.sinks:
+        s.handle(f)
+    return f
+
+
 class StreamingReceiver:
     """Feed arbitrary-length IQ in, get deduplicated frames out.
 
@@ -205,51 +261,8 @@ class StreamingReceiver:
                         cfo=float(np.asarray(r.cfo)[0, k]),
                     )
 
-                blocker = next(
-                    (s for s in self._emitted_starts
-                     if abs(abs_start - s[0]) < self._dedup_distance), None,
-                )
-                if blocker is not None:
-                    if blocker[1] != payload:
-                        self.n_dedup_conflicts += 1
-                        # Conflict resolution: a seam-clipped first
-                        # detection can decode corrupted bytes; if the
-                        # later clean decode passes the MAC CRC and the
-                        # blocker's did not, emit the clean frame as a
-                        # CORRECTION — retracted from _frames when the
-                        # caller hasn't collected the corrupt one yet,
-                        # otherwise delivered as a second emission
-                        # flagged ``dedup_replacement`` + ``replaces``
-                        # (the corrupt frame may already be downstream;
-                        # consumers correlate via the flag rather than
-                        # silently receiving a duplicate).
-                        f_new = make_frame()
-                        f_old = blocker[2]
-                        if f_new.crc_ok and f_old is not None \
-                                and f_old.crc_ok is False:
-                            self.n_dedup_replaced += 1
-                            f_new.dedup_replacement = True
-                            f_new.replaces = f_old.sample_index
-                            try:
-                                self._frames.remove(f_old)
-                            except ValueError:
-                                pass  # already collected by the caller
-                            i = self._emitted_starts.index(blocker)
-                            self._emitted_starts[i] = (
-                                abs_start, payload, f_new)
-                            self._frames.append(f_new)
-                            for s in self.sinks:
-                                s.handle(f_new)
-                            continue
-                    self.n_dedup_suppressed += 1
-                    continue
-                f = make_frame()
-                self._emitted_starts.append((abs_start, payload, f))
-                if len(self._emitted_starts) > 64:
-                    del self._emitted_starts[:32]
-                self._frames.append(f)
-                for s in self.sinks:
-                    s.handle(f)
+                _dedup_and_emit(self, self._emitted_starts, abs_start,
+                                payload, make_frame, self._dedup_distance)
 
     def _collect(self) -> List[Frame]:
         out, self._frames = self._frames, []
@@ -415,43 +428,8 @@ class WidebandStreamingReceiver:
                 return f
 
             seen = self._emitted.setdefault((cfg_sf.sf, chan), [])
-            dedup_distance = 16 * cfg_sf.samples_per_symbol
-            blocker = next(
-                (s for s in seen
-                 if abs(abs_start - s[0]) < dedup_distance), None,
-            )
-            if blocker is not None:
-                if blocker[1] != payload:
-                    self.n_dedup_conflicts += 1
-                    # CRC-preferenced conflict resolution (see
-                    # StreamingReceiver._drain for the emission and
-                    # flagging semantics)
-                    f_new = make_frame()
-                    f_old = blocker[2]
-                    if f_new.crc_ok and f_old is not None \
-                            and f_old.crc_ok is False:
-                        self.n_dedup_replaced += 1
-                        f_new.dedup_replacement = True
-                        f_new.replaces = f_old.sample_index
-                        try:
-                            self._frames.remove(f_old)
-                        except ValueError:
-                            pass
-                        seen[seen.index(blocker)] = (
-                            abs_start, payload, f_new)
-                        self._frames.append(f_new)
-                        for s in self.sinks:
-                            s.handle(f_new)
-                        continue
-                self.n_dedup_suppressed += 1
-                continue
-            f = make_frame()
-            seen.append((abs_start, payload, f))
-            if len(seen) > 64:
-                del seen[:32]
-            self._frames.append(f)
-            for s in self.sinks:
-                s.handle(f)
+            _dedup_and_emit(self, seen, abs_start, payload, make_frame,
+                            16 * cfg_sf.samples_per_symbol)
 
 
 def stream_file(
