@@ -87,7 +87,6 @@ def cmd_gateway(args) -> int:
     if not os.path.exists(args.file):
         print(f"error: no such capture file: {args.file}", file=sys.stderr)
         return 2
-    samples = np.fromfile(args.file, dtype=np.complex64)
     if args.plan:
         # LoRaWAN regional plan: mixer-bank channelizer on the 200 kHz
         # raster (see lora_tpu.plans); frequencies are absolute
@@ -112,7 +111,7 @@ def cmd_gateway(args) -> int:
         cfg = LoRaConfig(
             sf=args.sfs[0], cr=args.cr, samp_rate=chan_rate,
             bandwidth=args.bandwidth, crc=args.crc, implicit=args.implicit,
-            sync_word=args.sync_word or 0x00,
+            sync_word=0x00 if args.sync_word is None else args.sync_word,
         )
         kw = {}
         if args.bf16:
@@ -123,7 +122,24 @@ def cmd_gateway(args) -> int:
             cfg, M, sfs=args.sfs, pool=args.pool, demod_method="fft",
             header_checksum=args.header_checksum, **kw,
         )
-    frames = gw.run(samples)
+    if args.stream:
+        # continuous mode: fixed-size overlap-save blocks with seam
+        # dedup, file read chunkwise — bounded memory for arbitrarily
+        # long captures (the reference's realtime flowgraph semantics,
+        # apps/lora_receive_realtime.grc)
+        from .stream import WidebandStreamingReceiver
+
+        sr = WidebandStreamingReceiver(gw, block_symbols=args.block_symbols)
+        frames = []
+        with open(args.file, "rb") as fh:
+            while True:
+                raw = fh.read(sr.block_len * 8)
+                if not raw:
+                    break
+                frames += sr.push(np.frombuffer(raw, dtype=np.complex64))
+        frames += sr.flush()
+    else:
+        frames = gw.run(np.fromfile(args.file, dtype=np.complex64))
     sink = (MessageSocketSink(args.udp_ip, args.udp_port, args.layer)
             if args.udp else None)
     for f in frames:
@@ -274,6 +290,12 @@ def main(argv=None) -> int:
                     help="bfloat16 channel planes (halves on-chip bandwidth)")
     gw.add_argument("--header-checksum", action="store_true",
                     help="verify the PHY header checksum on rx")
+    gw.add_argument("--stream", action="store_true",
+                    help="continuous mode: overlap-save blocks + seam "
+                         "dedup, bounded memory for long captures")
+    gw.add_argument("--block-symbols", type=int, default=512,
+                    help="--stream owned block length, in slowest-SF "
+                         "symbols")
     gw.add_argument("--udp", action="store_true")
     gw.add_argument("--udp-ip", default="127.0.0.1")
     gw.add_argument("--udp-port", type=int, default=40868)

@@ -146,6 +146,128 @@ def _det_call_pp(xr, T: int, interpret: bool):
     return corr.reshape(C, K1), ener.reshape(C, K1)
 
 
+def _lag_rows_kernel(r_ref, i_ref, rh_ref, ih_ref, out_ref, *, lags):
+    """Fine-row energies + lag products for every lag in one VMEM pass.
+
+    ``r_ref``/``i_ref``: ``[1, T, sps]`` plane rows; ``rh_ref``/
+    ``ih_ref``: ``[1, H, sps]`` halo rows following the tile
+    (H >= max(lags), clamped at the last tile — the poisoned tail rows
+    are recomputed by the caller). Output ``[1, 1, S, T]`` with
+    ``S = 1 + 2*len(lags)``: row 0 = energies, rows ``1+2s``/``2+2s``
+    = lag ``lags[s]``'s dot re/im. Each input element is read ONCE
+    from HBM for ALL lags — the multi-SF gateway's detection substrate
+    (vs one :func:`detection_metrics_pallas` pass per SF)."""
+    r = r_ref[0].astype(jnp.float32)       # [T, sps]
+    im = i_ref[0].astype(jnp.float32)
+    T = r.shape[0]
+    fr = jnp.concatenate([r, rh_ref[0].astype(jnp.float32)], axis=0)
+    fi = jnp.concatenate([im, ih_ref[0].astype(jnp.float32)], axis=0)
+    out_ref[0, 0, 0, :] = jnp.sum(r * r + im * im, axis=1)
+    for s, l in enumerate(lags):
+        rl = fr[l : l + T]
+        il = fi[l : l + T]
+        out_ref[0, 0, 1 + 2 * s, :] = jnp.sum(r * rl + im * il, axis=1)
+        out_ref[0, 0, 2 + 2 * s, :] = jnp.sum(im * rl - r * il, axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _lag_rows_call(xr, lags: tuple, T: int, H: int, interpret: bool):
+    C, _, Rk, sps = xr.shape
+    nb = Rk // T
+    S = 1 + 2 * len(lags)
+    x3 = xr.reshape(C * 2, Rk, sps)
+    kernel = pl.pallas_call(
+        functools.partial(_lag_rows_kernel, lags=lags),
+        grid=(C, nb),
+        in_specs=[
+            pl.BlockSpec((1, T, sps), lambda c, i: (2 * c, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, sps), lambda c, i: (2 * c + 1, i, 0),
+                         memory_space=pltpu.VMEM),
+            # H rows following the tile (clamped at the last tile; the
+            # caller recomputes the affected tail rows)
+            pl.BlockSpec(
+                (1, H, sps),
+                lambda c, i: (2 * c, jnp.minimum((i + 1) * T // H,
+                                                 Rk // H - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, H, sps),
+                lambda c, i: (2 * c + 1, jnp.minimum((i + 1) * T // H,
+                                                     Rk // H - 1), 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, S, T), lambda c, i: (c, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, nb, S, T), jnp.float32),
+        interpret=interpret,
+    )
+    out = kernel(x3, x3, x3, x3)            # [C, nb, S, T]
+    return out.transpose(0, 2, 1, 3).reshape(C, S, nb * T)
+
+
+def lag_rows_pallas(xf, sps_min: int, lags, interpret: bool = False):
+    """Single-pass fine-row lag substrate on packed IQ ``[..., 2, L]``.
+
+    Returns ``(e, {lag: (q_re, q_im)})`` with the
+    :func:`lora_tpu.rx.frontend.lag_rows_planes` contract (all arrays
+    ``[..., R]``, R = L // sps_min; q rows past ``R - lag`` are
+    unspecified — the per-SF window aggregation never reads them).
+    ``None`` when the geometry can't tile (caller falls back to the
+    XLA planes math).
+    """
+    lags = tuple(sorted(set(int(l) for l in lags)))
+    lead = xf.shape[:-2]
+    L = xf.shape[-1]
+    R = L // sps_min
+    if sps_min % 128 != 0 or not lags or lags[0] < 1:
+        return None
+    # halo granularity: >= max lag, multiple of the dtype row tiling,
+    # and a divisor requirement T % H == 0 for block-aligned halo starts
+    rows = 16 if xf.dtype == jnp.bfloat16 else 8
+    H = max(rows, -(-max(lags) // rows) * rows)
+    if H > 256:
+        return None
+    # VMEM: 2 double-buffered [T, sps] blocks + 2 [H, sps] halos +
+    # ~8 in-kernel [T(+H), sps] f32 temporaries (concats, lag products)
+    budget = 12 * 1024 * 1024
+    t_max = (budget - 16 * H * sps_min) // (4 * sps_min * 14)
+    for T in (256, 128, 64, 32, 16):
+        if T <= t_max and T % H == 0 and (R // T) > 0:
+            break
+    else:
+        return None
+    Rk = (R // T) * T
+    C = int(np.prod(lead)) if lead else 1
+    xb = xf[..., : Rk * sps_min].reshape(C, 2, Rk, sps_min)
+    out = _lag_rows_call(xb, lags, T, H, interpret)  # [C, S, Rk]
+    # rows [Rt, R): the last tile's clamped halo poisons q there, and
+    # rows past Rk were never computed — recompute via the XLA planes
+    # math on a small tail slice (global row r == slice row r - Rt)
+    Rt = max(Rk - H, 0)
+    if Rt == 0:
+        e = out[:, 0, :R]
+        qs = {l: (out[:, 1 + 2 * s, :R], out[:, 2 + 2 * s, :R])
+              for s, l in enumerate(lags)}
+    else:
+        from ..rx.frontend import lag_rows_planes
+
+        tail = xf[..., Rt * sps_min :].reshape(C, 2, -1)
+        e_t, qs_t = lag_rows_planes(tail, sps_min, lags)
+        e = jnp.concatenate([out[:, 0, :Rt], e_t], axis=-1)
+        qs = {
+            l: (jnp.concatenate([out[:, 1 + 2 * s, :Rt], qs_t[l][0]], axis=-1),
+                jnp.concatenate([out[:, 2 + 2 * s, :Rt], qs_t[l][1]], axis=-1))
+            for s, l in enumerate(lags)
+        }
+    e = e.reshape(lead + (R,))
+    qs = {l: (qr.reshape(lead + (R,)), qi.reshape(lead + (R,)))
+          for l, (qr, qi) in qs.items()}
+    return e, qs
+
+
 def _pfb_fir_kernel(x_ref, halo_ref, taps_ref, out_ref):
     """Polyphase FIR along the frame axis of one plane tile.
 

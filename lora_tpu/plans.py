@@ -78,7 +78,8 @@ class PlanGateway:
     ):
         import jax
 
-        from .channelizer import channelize_list_planes, firdes_low_pass
+        from .channelizer import (channelize_list_planes_factored,
+                                  firdes_low_pass)
         from .rx.dense import DenseReceiver
 
         if isinstance(plan, str):
@@ -123,29 +124,49 @@ class PlanGateway:
                          bandwidth=bandwidth, crc=crc, implicit=implicit,
                          sync_word=sync_word)
         self.cfg = cfg
-        self.sfs = tuple(int(s) for s in sfs)
+        # dedup preserving order (duplicate SFs would emit every frame
+        # once per duplicate; self.rxs dedups via the dict either way)
+        self.sfs = tuple(dict.fromkeys(int(s) for s in sfs))
         self.pool = int(pool) if pool is not None else max(
             8, 2 * len(self.channels))
         self.rxs: Dict[int, "DenseReceiver"] = {
             sf: DenseReceiver(dataclasses.replace(cfg, sf=sf), **dense_kwargs)
             for sf in self.sfs
         }
+        # streaming-adapter surface (see stream.WidebandStreamingReceiver)
+        self.active = np.arange(len(self.channels), dtype=np.int32)
+        self.channel_freqs = np.asarray(self.channels, dtype=np.float64)
 
-        def process(xf, mixer_planes):
-            """packed wideband ``[2, L]`` + mixer planes ``[C, 2, L]`` ->
-            {sf: PooledResult}. (Packed because complex64 can't cross
-            the host<->device boundary on some TPU runtimes — see
-            lora_tpu.ops.xfer.)"""
-            cp = channelize_list_planes(
-                xf, self.taps, mixer_planes, self.decim)
+        def process(xf, outer, inner):
+            """packed wideband ``[2, L]`` + factored mixer planes
+            (``[C, 2, nI]``, ``[C, 2, tile]``) -> {sf: PooledResult}.
+            (Packed because complex64 can't cross the host<->device
+            boundary on some TPU runtimes — see lora_tpu.ops.xfer.)
+            The per-SF detection metrics share one multi-lag pass over
+            the channel planes (see rx.frontend.multi_sf_detection_metrics)."""
+            from .rx.frontend import multi_sf_detection_metrics
+
+            cp = channelize_list_planes_factored(
+                xf, self.taps, outer, inner, self.decim)
+            metrics = (
+                multi_sf_detection_metrics(
+                    cp, {sf: rx.sps for sf, rx in self.rxs.items()}
+                )
+                if not any(rx.low_snr for rx in self.rxs.values())
+                else {sf: None for sf in self.sfs}
+            )
             return {
-                sf: rx.process_pooled_planes(cp, self.pool)
+                sf: rx.process_pooled_planes(cp, self.pool,
+                                             metrics=metrics[sf])
                 for sf, rx in self.rxs.items()
             }
 
         self.process_fn = process
         self._process = jax.jit(process)
-        self._mixer_cache = {}  # length -> host mixer planes [C, 2, L]
+        # length -> factored mixer (outer [C,2,nI], inner [C,2,tile]):
+        # O(C * (L/tile + tile)) host floats vs the O(C * L) full table
+        # this replaces — streaming/long captures are now memory-bounded
+        self._mixer_cache = {}
 
     # ------------------------------------------------------------------
     @property
@@ -159,7 +180,7 @@ class PlanGateway:
         the wideband rate) so tail packets keep a full decode region."""
         import jax
 
-        from .channelizer import make_mixer_planes
+        from .channelizer import make_mixer_factors
         from .ops.xfer import pack_iq
 
         if not isinstance(x, jax.Array):
@@ -170,15 +191,15 @@ class PlanGateway:
                 x = pack_iq(x)
         L = x.shape[-1]
         if L not in self._mixer_cache:
-            # f64-accurate host mixers (an f32 on-device ramp drifts ~5
-            # deg by n=1.7M); keyed by block length so repeated block
-            # lengths reuse table + compile, capped at two entries
-            # (steady block + final partial) to bound host memory
+            # f64-accurate factored host mixers, keyed by block length so
+            # repeated block lengths reuse tables + compile; capped at two
+            # entries (steady block + final partial)
             if len(self._mixer_cache) >= 2:
                 self._mixer_cache.pop(next(iter(self._mixer_cache)))
-            self._mixer_cache[L] = make_mixer_planes(
+            self._mixer_cache[L] = make_mixer_factors(
                 self.offsets, self.samp_rate, L)
-        return self._process(x, self._mixer_cache[L])
+        outer, inner = self._mixer_cache[L]
+        return self._process(x, outer, inner)
 
     def run(self, x) -> List[Frame]:
         """Decode; frames carry the plan channel index, its absolute

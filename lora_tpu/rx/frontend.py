@@ -115,6 +115,101 @@ def detection_metrics_dechirp(xf, sps: int, fold_mat):
             e[..., 1:].astype(jnp.float32))
 
 
+def lag_rows_planes(xf, sps_min: int, lags):
+    """Fine-granularity lag products + row energies on packed planes.
+
+    The shared substrate of multi-SF detection: every SF's symbol
+    length is an integer multiple ``m = sps_sf // sps_min`` of the
+    smallest SF's, so its adjacent-window conj-dot decomposes into
+    sums of *fine-row* lag products ``q_m[r] = sum_t x[r*sps_min + t]
+    * conj(x[(r+m)*sps_min + t])`` — and its window energies into sums
+    of fine-row energies. Computing ``q`` for every needed lag in ONE
+    pass over the planes replaces the per-SF re-reads of
+    :func:`detection_metrics_planes` (the gateway's 6x detection HBM
+    cost; docs/perf/NOTES.md "Gateway cost shape").
+
+    ``xf``: packed IQ ``[..., 2, L]``; ``lags``: iterable of ints
+    (each SF's ``m``). Returns ``(e, {lag: (q_re, q_im)})`` with
+    ``e`` ``[..., R]`` (R = L // sps_min) and each ``q_*`` ``[..., R]``
+    zero-padded past its valid range ``R - lag`` (unused by the
+    window aggregation, see :func:`metrics_from_lag_rows`).
+    """
+    L = xf.shape[-1]
+    R = L // sps_min
+    xf = xf.astype(jnp.float32)
+    lead = xf.shape[:-2]
+    r = xf[..., 0, : R * sps_min].reshape(lead + (R, sps_min))
+    i = xf[..., 1, : R * sps_min].reshape(lead + (R, sps_min))
+    e = jnp.sum(r * r + i * i, axis=-1)
+    qs = {}
+    for l in sorted(set(int(l) for l in lags)):
+        if l >= R:
+            z = jnp.zeros(lead + (R,), jnp.float32)
+            qs[l] = (z, z)
+            continue
+        q_re = jnp.sum(r[..., :-l, :] * r[..., l:, :]
+                       + i[..., :-l, :] * i[..., l:, :], axis=-1)
+        q_im = jnp.sum(i[..., :-l, :] * r[..., l:, :]
+                       - r[..., :-l, :] * i[..., l:, :], axis=-1)
+        pad = [(0, 0)] * len(lead) + [(0, l)]
+        qs[l] = (jnp.pad(q_re, pad), jnp.pad(q_im, pad))
+    return e, qs
+
+
+def metrics_from_lag_rows(e, q_re, q_im, m: int):
+    """Window detection metrics for one SF from the fine-row substrate.
+
+    ``m``: the SF's fine-row multiple (``sps_sf // sps_min``). Returns
+    ``(corr, e1, e2)`` identical to :func:`detection_metrics_planes`
+    at stride ``m * sps_min`` (same window grid: windows start at
+    ``k * sps_sf`` from sample 0).
+    """
+    R = e.shape[-1]
+    Kw = R // m          # = L // sps_sf
+    K = Kw - 1
+    lead = e.shape[:-1]
+    if K < 1:
+        z = jnp.zeros(lead + (0,), jnp.float32)
+        return z, z, z
+    e_win = jnp.sum(e[..., : Kw * m].reshape(lead + (Kw, m)), axis=-1)
+    dot_re = jnp.sum(q_re[..., : Kw * m].reshape(lead + (Kw, m)), axis=-1)
+    dot_im = jnp.sum(q_im[..., : Kw * m].reshape(lead + (Kw, m)), axis=-1)
+    e1 = e_win[..., :K]
+    e2 = e_win[..., 1 : K + 1]
+    mag = jnp.sqrt(dot_re[..., :K] ** 2 + dot_im[..., :K] ** 2)
+    denom = jnp.sqrt(e1 * e2)
+    corr = jnp.where(denom > 0, mag / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return corr.astype(jnp.float32), e1, e2
+
+
+def multi_sf_detection_metrics(xf, sps_by_sf):
+    """Detection metrics for several SFs in one pass over the planes.
+
+    ``sps_by_sf``: ``{sf: samples_per_symbol}``; every sps must be an
+    integer multiple of the smallest. Returns ``{sf: (corr, e1, e2)}``
+    matching :func:`detection_metrics_planes` per SF. On TPU the
+    fine-row substrate is computed by the single-pass multi-lag Pallas
+    kernel (1x HBM read for all SFs); elsewhere by the fused XLA
+    planes math.
+    """
+    sps_min = min(sps_by_sf.values())
+    ms = {sf: sps // sps_min for sf, sps in sps_by_sf.items()}
+    if any(sps % sps_min for sps in sps_by_sf.values()):
+        raise ValueError("multi-SF metrics need commensurate symbol lengths")
+    rows = None
+    if jax.default_backend() == "tpu":
+        from ..ops.pallas_kernels import lag_rows_pallas
+
+        rows = lag_rows_pallas(xf, sps_min, set(ms.values()))
+    if rows is None:
+        rows = lag_rows_planes(xf, sps_min, set(ms.values()))
+    e, qs = rows
+    return {
+        sf: metrics_from_lag_rows(e, qs[m][0], qs[m][1], m)
+        for sf, m in ms.items()
+    }
+
+
 LEAK_RATIO = 10.0 ** 3.5  # 35 dB: 5 dB guard under the >=40 dB sidelobe
                           # attenuation of the channel filters (53 dB
                           # Hamming designs), so only signals that CANNOT

@@ -86,6 +86,61 @@ def _dedup_and_emit(rx, seen, abs_start: int, payload: bytes, make_frame,
     return f
 
 
+class _IngestBuffer:
+    """Ring-or-numpy IQ ingest shared by the streaming receivers.
+
+    Backed by the lock-free C++ SPSC ring (:class:`lora_tpu.native.
+    SampleRing`) when the native library is available — the GNU Radio
+    bounded-buffer/backpressure primitive — else a numpy concat buffer.
+    ``write`` invokes ``on_full()`` when the ring is full (the caller
+    consumes blocks to free space: backpressure).
+    """
+
+    def __init__(self, capacity_samples: int, use_native: bool = True):
+        self._ring = None
+        if use_native:
+            try:
+                from .native import SampleRing
+
+                self._ring = SampleRing(capacity_samples * 8)
+            except Exception:
+                self._ring = None
+        self._buf = np.zeros(0, np.complex64)
+
+    @property
+    def buffered(self) -> int:
+        if self._ring is not None:
+            return self._ring.readable // 8
+        return len(self._buf)
+
+    def write(self, x: np.ndarray, on_full) -> None:
+        if self._ring is None:
+            self._buf = np.concatenate([self._buf, x])
+            return
+        raw = x.tobytes()
+        off = 0
+        while off < len(raw):
+            wrote = self._ring.write(raw[off:])
+            off += wrote
+            if wrote == 0:
+                on_full()
+
+    def take(self, n: int, consume: int) -> np.ndarray:
+        """Peek ``n`` samples from the head, consuming ``consume``."""
+        if self._ring is not None:
+            data = np.frombuffer(self._ring.peek(n * 8), dtype=np.complex64)
+            self._ring.advance(consume * 8)
+            return data
+        data = self._buf[:n]
+        self._buf = self._buf[consume:]
+        return data
+
+    def close(self) -> None:
+        if self._ring is not None:
+            self._ring.close()
+            self._ring = None
+
+
 class StreamingReceiver:
     """Feed arbitrary-length IQ in, get deduplicated frames out.
 
@@ -137,39 +192,20 @@ class StreamingReceiver:
         # decode passed it — the clean frame replaces the corrupted one
         self.n_dedup_replaced = 0
         self._eof = False
-
-        self._ring = None
-        if use_native_ring:
-            try:
-                from .native import SampleRing
-
-                # capacity: a few blocks of packed complex64
-                self._ring = SampleRing(8 * self.block_len * 8)
-            except Exception:
-                self._ring = None
-        self._buf = np.zeros(0, np.complex64)  # python fallback buffer
+        # capacity: a few blocks of packed complex64
+        self._ingest = _IngestBuffer(8 * self.block_len,
+                                     use_native=use_native_ring)
 
     # ------------------------------------------------------------- ingest
     @property
     def _buffered(self) -> int:
-        if self._ring is not None:
-            return self._ring.readable // 8
-        return len(self._buf)
+        return self._ingest.buffered
 
     def push(self, samples) -> List[Frame]:
         """Append IQ samples; returns frames completed by this push."""
         x = np.ascontiguousarray(np.asarray(samples, dtype=np.complex64))
-        if self._ring is not None:
-            raw = x.tobytes()
-            off = 0
-            while off < len(raw):
-                wrote = self._ring.write(raw[off:])
-                off += wrote
-                if wrote == 0:
-                    # ring full -> consume blocks to free space (backpressure)
-                    self._pump(force=True)
-        else:
-            self._buf = np.concatenate([self._buf, x])
+        # ring full -> consume blocks to free space (backpressure)
+        self._ingest.write(x, on_full=lambda: self._pump(force=True))
         self._pump()
         return self._collect()
 
@@ -182,17 +218,8 @@ class StreamingReceiver:
         DenseReceiver._region_from; zeros produce no candidates of their
         own)."""
         self._eof = True
-        zeros = np.zeros(self.halo, np.complex64)
-        if self._ring is not None:
-            raw = zeros.tobytes()
-            off = 0
-            while off < len(raw):
-                wrote = self._ring.write(raw[off:])
-                off += wrote
-                if wrote == 0:
-                    self._pump(force=True)
-        else:
-            self._buf = np.concatenate([self._buf, zeros])
+        self._ingest.write(np.zeros(self.halo, np.complex64),
+                           on_full=lambda: self._pump(force=True))
         self._pump()
         tail = self._take(self._buffered, consume=self._buffered)
         if len(tail):
@@ -205,14 +232,7 @@ class StreamingReceiver:
 
     # ------------------------------------------------------------ blocks
     def _take(self, n: int, consume: int) -> np.ndarray:
-        """Peek ``n`` samples from the head, consuming ``consume``."""
-        if self._ring is not None:
-            data = np.frombuffer(self._ring.peek(n * 8), dtype=np.complex64)
-            self._ring.advance(consume * 8)
-            return data
-        data = self._buf[:n]
-        self._buf = self._buf[consume:]
-        return data
+        return self._ingest.take(n, consume)
 
     def _pump(self, force: bool = False) -> None:
         while self._buffered >= self.block_len:
@@ -269,9 +289,7 @@ class StreamingReceiver:
         return out
 
     def close(self) -> None:
-        if self._ring is not None:
-            self._ring.close()
-            self._ring = None
+        self._ingest.close()
 
 
 class WidebandStreamingReceiver:
@@ -298,9 +316,9 @@ class WidebandStreamingReceiver:
         block_symbols: int = 512,
         sinks: Sequence = (),
         max_in_flight: int = 2,
+        use_native_ring: bool = True,
     ):
         self.wb = wideband
-        M = wideband.M
         # also accepts a MultiSFWidebandReceiver (gateway mode): the
         # block/halo geometry is governed by the slowest SF, and _drain
         # iterates every SF's pooled result (_iter_results)
@@ -311,10 +329,25 @@ class WidebandStreamingReceiver:
         else:
             sps = wideband.rx.sps
             pkt_samples = wideband.rx.pkt_samples
+        # ...and a plans.PlanGateway (mixer-bank channelizer on the
+        # LoRaWAN raster): wideband-to-channel-rate factor = its
+        # decimation (a PFB's is its channel count M) and FIR warmup =
+        # the whole-band filter length. Each block's factored mixer
+        # restarts at phase 0, i.e. the channel streams carry a
+        # CONSTANT phase offset per block — irrelevant to decode (every
+        # metric is magnitude- or phase-difference-based), so no
+        # cross-block phase bookkeeping is needed.
+        pfb = getattr(wideband, "pfb", None)
+        if pfb is not None:
+            M = wideband.M
+            warmup_chan = pfb.K + 1
+        else:
+            M = wideband.decim
+            warmup_chan = -(-len(wideband.taps) // M) + 1
         self.M = M
         self.hop = block_symbols * sps * M
         halo_chan = pkt_samples + 2 * sps
-        self.halo = (halo_chan + wideband.pfb.K + 1) * M
+        self.halo = (halo_chan + warmup_chan) * M
         if self.hop < self.halo:
             raise ValueError(
                 f"block_symbols={block_symbols} gives hop {self.hop} < halo "
@@ -336,30 +369,49 @@ class WidebandStreamingReceiver:
         self.n_dedup_suppressed = 0
         self.n_dedup_conflicts = 0
         self.n_dedup_replaced = 0
-        self._buf = np.zeros(0, np.complex64)
+        # ring-backed ingest (the wideband streamer moves M x the data
+        # of the narrowband one — it gets the same native SPSC ring,
+        # not a per-push numpy concat)
+        self._ingest = _IngestBuffer(8 * self.block_len,
+                                     use_native=use_native_ring)
 
     def push(self, samples) -> List[Frame]:
         x = np.ascontiguousarray(np.asarray(samples, dtype=np.complex64))
-        self._buf = np.concatenate([self._buf, x])
-        while len(self._buf) >= self.block_len:
-            block = self._buf[: self.block_len]
-            self._buf = self._buf[self.hop :]
-            self._dispatch(block, self._abs, own=self.hop)
-            self._abs += self.hop
-            self._drain(self.max_in_flight - 1)
+        self._ingest.write(x, on_full=lambda: self._pump(force=True))
+        self._pump()
         out, self._frames = self._frames, []
         return out
 
+    def _pump(self, force: bool = False) -> None:
+        while self._ingest.buffered >= self.block_len:
+            block = self._ingest.take(self.block_len, consume=self.hop)
+            self._dispatch(block, self._abs, own=self.hop)
+            self._abs += self.hop
+            if not force:
+                self._drain(self.max_in_flight - 1)
+        if force:
+            self._drain(0)
+
     def flush(self) -> List[Frame]:
-        tail = np.concatenate([self._buf, np.zeros(self.halo, np.complex64)])
-        self._buf = np.zeros(0, np.complex64)
+        """End of stream: halo of zeros, pump, then the partial tail
+        block (see StreamingReceiver.flush — after the pump the buffer
+        holds < block_len samples, so one final block covers it)."""
+        self._ingest.write(np.zeros(self.halo, np.complex64),
+                           on_full=lambda: self._pump(force=True))
+        self._pump()
+        n = self._ingest.buffered
+        tail = self._ingest.take(n, consume=n)
         if len(tail):
             block = np.zeros(self.block_len, np.complex64)
-            block[: min(len(tail), self.block_len)] = tail[: self.block_len]
+            block[: len(tail)] = tail
             self._dispatch(block, self._abs, own=len(tail))
+            self._abs += len(tail)
         self._drain(0)
         out, self._frames = self._frames, []
         return out
+
+    def close(self) -> None:
+        self._ingest.close()
 
     def _dispatch(self, block: np.ndarray, abs_offset: int, own: int) -> None:
         res = self.wb.process(pack_iq(block))

@@ -36,13 +36,17 @@ def trunc(target: str, max_len: int = 30) -> str:
 class TestSummary:
     """Accuracy accounting + Markdown report (qa_testsuite.py:38-148)."""
 
-    def __init__(self, suite: str):
+    def __init__(self, suite: str, backend: Optional[str] = None):
         self.suite = suite
         now = datetime.datetime.now(datetime.timezone.utc)
         self.text = (
             f"-------- Test suite '{suite}' results on {now} ---------\n"
         )
         self.markdown = f"# Test suite: '{suite}'\n\n*Results on {now}*\n"
+        if backend:
+            # recorded provenance (ADVICE r4: stamp the actual backend
+            # instead of inferring it from the run date)
+            self.markdown += f"*Backend: {backend}*\n"
         self.total_correct = 0
         self.total = 0
         self.num_tests = 0
@@ -309,7 +313,14 @@ def run_suite(
         if suites_to_run and suite not in suites_to_run:
             continue
         print(f"[+] Testing suite: '{suite}'")
-        summary = TestSummary(suite + report_suffix)
+        if engine == "golden":
+            backend = "numpy"
+        else:
+            import jax
+            backend = jax.default_backend()
+            if backend == "axon":  # the remote-TPU tunnel platform name
+                backend = "tpu"
+        summary = TestSummary(suite + report_suffix, backend=backend)
         for meta in list_suite(os.path.join(suites_path, suite)):
             print(f"[+] {meta}")
             trace = read_trace(meta)

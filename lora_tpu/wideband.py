@@ -200,12 +200,15 @@ class MultiSFWidebandReceiver:
         pool: int = 16,
         active_channels: Optional[Sequence[int]] = None,
         plane_dtype=None,
+        shared_detection: bool = True,
         **dense_kwargs,
     ):
         if not sfs:
             raise ValueError("sfs must name at least one spreading factor")
         self.cfg = chan_config
-        self.sfs = tuple(int(s) for s in sfs)
+        # dedup preserving order: duplicate SFs would emit every frame
+        # once per duplicate (self.rxs dedups via the dict either way)
+        self.sfs = tuple(dict.fromkeys(int(s) for s in sfs))
         self.M = int(num_channels)
         self.wide_rate = self.M * chan_config.samp_rate
         self.pfb = PolyphaseChannelizer.for_lora(
@@ -227,6 +230,17 @@ class MultiSFWidebandReceiver:
         }
         act = tuple(int(a) for a in self.active)
 
+        # the per-SF detection metrics share one fine-row substrate
+        # (every SF's symbol length is a multiple of the smallest's)
+        # computed in a single multi-lag pass over the planes — the
+        # 6x-detection-reads fix of docs/perf/NOTES.md "Gateway cost
+        # shape". low_snr receivers use the dechirp metric instead, so
+        # any of them opts the whole bank out of the shared pass;
+        # ``shared_detection=False`` is the per-SF-pass A/B control.
+        self._shared_metrics = bool(shared_detection) and not any(
+            rx.low_snr for rx in self.rxs.values()
+        )
+
         def process(xf):
             """packed wideband IQ ``[2, L]`` -> {sf: PooledResult [pool]}.
 
@@ -234,11 +248,21 @@ class MultiSFWidebandReceiver:
             the same channel planes (XLA shares the planes buffer across
             the per-SF subgraphs — no re-channelization, no transfer).
             """
+            from .rx.frontend import multi_sf_detection_metrics
+
             cp = self.pfb.planes(xf, out_dtype=self.plane_dtype)
             if len(act) != self.M:
                 cp = cp[np.asarray(act)]
+            metrics = (
+                multi_sf_detection_metrics(
+                    cp, {sf: rx.sps for sf, rx in self.rxs.items()}
+                )
+                if self._shared_metrics
+                else {sf: None for sf in self.sfs}
+            )
             return {
-                sf: rx.process_pooled_planes(cp, self.pool)
+                sf: rx.process_pooled_planes(cp, self.pool,
+                                             metrics=metrics[sf])
                 for sf, rx in self.rxs.items()
             }
 

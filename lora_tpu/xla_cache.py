@@ -14,9 +14,34 @@ initialise; it only sets config flags.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 _done = False
+
+
+def _host_fingerprint() -> str:
+    """Host-feature key for the cache path.
+
+    XLA's CPU AOT loader does not key cached executables by the host's
+    ISA features, so a cache populated on one machine can hand another
+    machine code it cannot run ("could lead to execution errors such as
+    SIGILL", cpu_aot_loader.cc — seen across every CPU-mesh dryrun in
+    MULTICHIP_r04.json). Scoping the cache directory by a digest of the
+    CPU feature flags makes mismatched hosts miss instead of loading
+    poisoned entries; same-host runs lose nothing.
+    """
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.md5(feats.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+
+    return platform.machine() or "unknown"
 
 
 def ensure_compilation_cache() -> None:
@@ -30,6 +55,8 @@ def ensure_compilation_cache() -> None:
     )
     if not cache_dir:
         return
+    if "LORA_TPU_CACHE_DIR" not in os.environ:
+        cache_dir = os.path.join(cache_dir, _host_fingerprint())
     try:
         import jax
 

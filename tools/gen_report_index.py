@@ -31,8 +31,14 @@ def main():
             continue
         d = re.search(r"\*Results on (\d{4}-\d{2}-\d{2}) (\d{2}:\d{2})", text)
         date = f"{d.group(1)} {d.group(2)}" if d else "?"
-        if name.endswith("_dense.md") or name.endswith("_parity.md"):
-            engine_backend = "tpu" if date >= TPU_CUTOVER else "cpu"
+        stamp = re.search(r"\*Backend: (\w+)\*", text)
+        if stamp:
+            # recorded provenance (testsuite.TestSummary stamps the
+            # actual jax.default_backend() at generation time)
+            engine_backend = stamp.group(1)
+        elif name.endswith("_dense.md") or name.endswith("_parity.md"):
+            # legacy reports without a stamp: date heuristic
+            engine_backend = "tpu" if (date != "?" and date >= TPU_CUTOVER) else "cpu"
         else:
             engine_backend = "numpy"
         rows.append((name, int(m.group(1)), int(m.group(2)), m.group(3),
