@@ -469,10 +469,18 @@ if __name__ == "__main__":
         sys.argv.remove("--wideband")
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         main_wideband(int(pos[0]) if pos else 1024)
+    elif "--wideband-full" in sys.argv:
+        sys.argv.remove("--wideband-full")
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        main_wideband_full(int(pos[0]) if pos else 1024)
     elif "--gateway" in sys.argv:
         sys.argv.remove("--gateway")
         pos = [a for a in sys.argv[1:] if not a.startswith("--")]
         main_gateway(int(pos[0]) if pos else 256)
+    elif "--plan-gateway" in sys.argv:
+        sys.argv.remove("--plan-gateway")
+        pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+        main_plan_gateway(pos[0] if pos else "EU868")
     elif "--dense-only" in sys.argv:
         sys.argv.remove("--dense-only")
         main()
@@ -488,4 +496,6 @@ if __name__ == "__main__":
         _subprocess_stage(["--wideband", "1024"], 540.0)
         _subprocess_stage(["--wideband", "4096"], 540.0)
         _subprocess_stage(["--gateway", "256"], 540.0)
+        _subprocess_stage(["--wideband-full", "1024"], 540.0)
+        _subprocess_stage(["--plan-gateway", "EU868"], 540.0)
         main()

@@ -52,7 +52,9 @@ def cmd_decode_file(args) -> int:
     # --low-snr: coherent dechirp-fold detection/SFD on the dense fft
     # engine (docs/perf/sensitivity.md)
     engine = "dense" if args.low_snr else args.engine
-    kw = {"low_snr": True} if args.low_snr else {}
+    kw = {}
+    if args.low_snr:
+        kw["low_snr"] = "auto" if args.low_snr == "auto" else True
     rx = LoRaReceiver(
         samp_rate=samp_rate, center_freq=center, channel_list=channels,
         bandwidth=args.bandwidth, sf=sf, implicit=implicit, cr=cr, crc=crc,
@@ -252,10 +254,13 @@ def main(argv=None) -> int:
     d.add_argument("--decimation", type=int, default=1)
     d.add_argument("--no-drift-correction", action="store_true")
     d.add_argument("--engine", default="golden", choices=["golden", "parity", "dense"])
-    d.add_argument("--low-snr", action="store_true",
+    d.add_argument("--low-snr", nargs="?", const=True, default=False,
+                   metavar="auto",
                    help="coherent low-SNR mode (dense fft engine; "
                         "LoRa-silicon-class sensitivity, see "
-                        "docs/perf/sensitivity.md)")
+                        "docs/perf/sensitivity.md). '--low-snr auto' "
+                        "tries the standard gates first and retries "
+                        "empty captures coherently")
     d.add_argument("--udp", action="store_true")
     d.add_argument("--udp-ip", default="127.0.0.1")
     d.add_argument("--udp-port", type=int, default=40868)

@@ -84,7 +84,27 @@ class LoRaReceiver:
         )
         self._taps = lora_channel_taps(samp_rate, bandwidth)
         self._decoders = None
-        self._engine_kwargs = engine_kwargs
+        self._engine_kwargs = dict(engine_kwargs)
+        # low_snr="auto" (dense engine): decode with the reference-parity
+        # gates first; when a capture yields NOTHING, retry it through
+        # the coherent low-SNR pipeline (docs/perf/sensitivity.md). The
+        # two-pass policy costs one extra dispatch only on empty blocks
+        # — a receiver at the sensitivity floor is mostly-empty by
+        # definition, and blocks with decodable strong packets never pay
+        # it. Implicit-header configs stay on the parity gates: the
+        # implicit end-of-frame is an energy threshold against the
+        # preamble window (lib/decoder_impl.cc:356-357,861-864), and at
+        # the SNRs where coherent detection matters the per-symbol
+        # energy is noise-dominated — the stop fires arbitrarily, so a
+        # coherent retry would emit garbage-length frames rather than
+        # recover real ones.
+        self._auto_low_snr = (
+            engine == "dense"
+            and self._engine_kwargs.get("low_snr") == "auto"
+        )
+        if self._auto_low_snr:
+            self._engine_kwargs.pop("low_snr")
+            self._coherent = None  # built lazily on first empty capture
 
     # ---- control plane (reference controller/channelizer feedback) ----
 
@@ -109,6 +129,34 @@ class LoRaReceiver:
 
             return DenseReceiver(self.config, **self._engine_kwargs)
         raise ValueError(f"unknown engine {self.engine!r}")
+
+    def _receive_coherent(self, streams) -> List[Frame]:
+        """The low_snr="auto" second pass (see __init__): coherent
+        dechirp-fold detection/SFD on the already-channelized streams."""
+        if self._coherent is None:
+            from .rx.dense import DenseReceiver
+
+            kw = dict(self._engine_kwargs)
+            kw.pop("demod_method", None)  # low_snr mode is fft-engine only
+            try:
+                self._coherent = DenseReceiver(self.config, low_snr=True,
+                                               **kw)
+            except ValueError:
+                # geometry can't host the fold matrices (sps * n_bins
+                # past the budget) — auto mode quietly stays single-pass
+                self._coherent = False
+        if self._coherent is False:
+            return []
+        frames: List[Frame] = []
+        if len(streams) > 1:
+            return self._coherent.run(
+                np.stack([np.asarray(s) for s in streams])
+            )
+        for ci, s in enumerate(streams):
+            for f in self._coherent.run(np.asarray(s)):
+                f.channel = ci
+                frames.append(f)
+        return frames
 
     def receive(self, samples: np.ndarray) -> List[Frame]:
         """Channelize + decode one capture; returns all decoded frames
@@ -148,6 +196,8 @@ class LoRaReceiver:
                 for f in dec.run(np.asarray(s)):
                     f.channel = ci
                     frames.append(f)
+        if self._auto_low_snr and not frames and not self.config.implicit:
+            frames = self._receive_coherent(streams)
         for f in frames:
             # stamp the LoRaTap radio-metadata fields (the reference
             # memsets them to zero except snr, lib/decoder_impl.cc:592-600;

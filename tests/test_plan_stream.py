@@ -48,6 +48,27 @@ def test_mixer_factorization_matches_full_table():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_decimating_fir_matches_convolve_all_geometries():
+    """The polyphase decimating FIR (matmul + diagonal slices) must
+    equal jnp.convolve(valid)[::D] exactly, including the L % D
+    boundary cases where the phase view needs a padded tail row."""
+    import jax.numpy as jnp
+
+    from lora_tpu.channelizer import _decimating_fir
+
+    rng = np.random.default_rng(1)
+    for D, Nt, L in [(4, 5, 100), (4, 5, 101), (4, 5, 103), (8, 77, 4096),
+                     (8, 77, 4099), (2, 31, 999), (32, 421, 65536 + 17)]:
+        taps = rng.normal(0, 1, Nt).astype(np.float32)
+        m = rng.normal(0, 1, (2, L)).astype(np.float32)
+        want = np.stack([
+            np.correlate(row, taps, mode="valid")[::D] for row in m
+        ])
+        got = np.asarray(_decimating_fir(jnp.asarray(m), taps, D))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"D={D} Nt={Nt} L={L}")
+
+
 def _make_capture(center, rate, placements, L, seed=7):
     rng = np.random.default_rng(seed)
     x = (rng.normal(0, 1e-4, L) + 1j * rng.normal(0, 1e-4, L)).astype(
