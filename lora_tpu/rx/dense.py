@@ -267,7 +267,42 @@ class DenseReceiver:
         self._deint_tables = self._build_deint_tables()
         self._pay_luts = {}  # codeword-count -> fused decode-tail table
         self.process_fn = self._build()   # un-jitted (for shard_map wrapping)
-        self._process = jax.jit(self.process_fn)
+        # The big DSP tables ride as jit ARGUMENTS, not closures: a
+        # closed-over array is inlined into the serialized HLO, and the
+        # near-critical SF11/12 geometries' fold/likeness tables (up to
+        # hundreds of MB) overflow the remote-compile request size
+        # (HTTP 413) — as parameters they upload once and the program
+        # ships small. The un-jitted process_fn (shard_map wrapping,
+        # fused wideband programs) still reads the attributes directly;
+        # those geometries gate the tables to <=16M entries anyway.
+        self._table_attrs = tuple(
+            a for a in ("_fold_mat", "_fold_up", "_likeness_rows")
+            if getattr(self, a) is not None
+        )
+        self._table_host = {a: getattr(self, a) for a in self._table_attrs}
+        self._table_dev = None
+
+        def entry(xf, tables):
+            return self._with_tables(tables, self.process_fn, xf)
+
+        self._process = jax.jit(entry)
+
+    def _with_tables(self, tables: dict, fn, *args):
+        """Trace ``fn`` with the big-table attributes rebound to the
+        given (tracer) values; restores the host arrays after."""
+        old = {a: getattr(self, a) for a in tables}
+        for a, v in tables.items():
+            setattr(self, a, v)
+        try:
+            return fn(*args)
+        finally:
+            for a, v in old.items():
+                setattr(self, a, v)
+
+    def _tables_device(self):
+        if self._table_dev is None:
+            self._table_dev = jax.device_put(self._table_host)
+        return self._table_dev
 
     @property
     def _cand_threshold(self) -> float:
@@ -1222,7 +1257,7 @@ class DenseReceiver:
             if np.iscomplexobj(x):
                 pad = [(0, 0)] * (x.ndim - 1) + [(0, self.pkt_samples)]
                 x = xfer.pack_iq(np.pad(x.astype(np.complex64), pad))
-        return self._process(x)
+        return self._process(x, self._tables_device())
 
     def run(self, x, channel_offset: int = 0) -> List[Frame]:
         """Decode a block (1-D or [C, L]) into host Frame objects."""
