@@ -148,6 +148,14 @@ class PlanGateway:
 
             cp = channelize_list_planes_factored(
                 xf, self.taps, outer, inner, self.decim)
+            # materialize the channel planes ONCE: the factored mixer +
+            # polyphase FIR is pure fusible math, and without a barrier
+            # XLA duplicates it into every consumer — each pooled Phase
+            # B window gather would re-derive its samples through the
+            # whole mix+FIR chain (measured 20x on the EU868 gateway:
+            # 486 -> 25 ms class). The detection pass's Pallas kernel
+            # already forces materialization on its own path.
+            cp = jax.lax.optimization_barrier(cp)
             metrics = (
                 multi_sf_detection_metrics(
                     cp, {sf: rx.sps for sf, rx in self.rxs.items()}
