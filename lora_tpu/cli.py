@@ -94,10 +94,11 @@ def cmd_gateway(args) -> int:
         # raster (see lora_tpu.plans); frequencies are absolute
         from .plans import PlanGateway
 
+        kw = {}
         if args.bf16:
-            print("warning: --bf16 applies to the PFB channel planes; "
-                  "the plan gateway's mixer-bank path ignores it",
-                  file=sys.stderr)
+            import jax.numpy as jnp
+
+            kw["plane_dtype"] = jnp.bfloat16
         gw = PlanGateway(
             args.plan, args.center_freq, args.samp_rate,
             sfs=tuple(args.sfs), bandwidth=args.bandwidth, cr=args.cr,
@@ -105,7 +106,7 @@ def cmd_gateway(args) -> int:
             # class default 0x34 (public LoRaWAN) unless the user set one
             sync_word=0x34 if args.sync_word is None else args.sync_word,
             pool=args.pool, header_checksum=args.header_checksum,
-            demod_method="fft",
+            demod_method="fft", **kw,
         )
     else:
         M = args.channels

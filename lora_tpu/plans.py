@@ -74,6 +74,7 @@ class PlanGateway:
         sync_word: int = 0x34,
         pool: Optional[int] = None,
         transition_hz: Optional[float] = None,
+        plane_dtype=None,
         **dense_kwargs,
     ):
         import jax
@@ -136,6 +137,11 @@ class PlanGateway:
         # streaming-adapter surface (see stream.WidebandStreamingReceiver)
         self.active = np.arange(len(self.channels), dtype=np.int32)
         self.channel_freqs = np.asarray(self.channels, dtype=np.float64)
+        # dtype of the channel planes between the channelizer and the
+        # per-SF dense stages (mirrors WidebandReceiver.plane_dtype:
+        # bf16 halves detection + Phase B gather traffic at the
+        # validated ~40 dB quantization floor; mixing/FIR stay f32)
+        self.plane_dtype = plane_dtype
 
         def process(xf, outer, inner):
             """packed wideband ``[2, L]`` + factored mixer planes
@@ -148,6 +154,8 @@ class PlanGateway:
 
             cp = channelize_list_planes_factored(
                 xf, self.taps, outer, inner, self.decim)
+            if self.plane_dtype is not None:
+                cp = cp.astype(self.plane_dtype)
             # materialize the channel planes ONCE: the factored mixer +
             # polyphase FIR is pure fusible math, and without a barrier
             # XLA duplicates it into every consumer — each pooled Phase
