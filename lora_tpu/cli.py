@@ -20,6 +20,16 @@ import sys
 import numpy as np
 
 
+def _low_snr_value(s: str):
+    """--low-snr optional value: only 'auto' is meaningful — anything
+    else (a typo, or a filename swallowed by nargs='?') must be a hard
+    error rather than silently forcing full coherent mode."""
+    if s == "auto":
+        return "auto"
+    raise argparse.ArgumentTypeError(
+        f"--low-snr takes no value or 'auto', got {s!r}")
+
+
 def cmd_decode_file(args) -> int:
     from .config import LoRaConfig
     from .receiver import LoRaReceiver
@@ -130,17 +140,10 @@ def cmd_gateway(args) -> int:
         # dedup, file read chunkwise — bounded memory for arbitrarily
         # long captures (the reference's realtime flowgraph semantics,
         # apps/lora_receive_realtime.grc)
-        from .stream import WidebandStreamingReceiver
+        from .stream import WidebandStreamingReceiver, pump_file
 
         sr = WidebandStreamingReceiver(gw, block_symbols=args.block_symbols)
-        frames = []
-        with open(args.file, "rb") as fh:
-            while True:
-                raw = fh.read(sr.block_len * 8)
-                if not raw:
-                    break
-                frames += sr.push(np.frombuffer(raw, dtype=np.complex64))
-        frames += sr.flush()
+        frames = pump_file(sr, args.file)
     else:
         frames = gw.run(np.fromfile(args.file, dtype=np.complex64))
     sink = (MessageSocketSink(args.udp_ip, args.udp_port, args.layer)
@@ -256,7 +259,7 @@ def main(argv=None) -> int:
     d.add_argument("--no-drift-correction", action="store_true")
     d.add_argument("--engine", default="golden", choices=["golden", "parity", "dense"])
     d.add_argument("--low-snr", nargs="?", const=True, default=False,
-                   metavar="auto",
+                   type=_low_snr_value, metavar="auto",
                    help="coherent low-SNR mode (dense fft engine; "
                         "LoRa-silicon-class sensitivity, see "
                         "docs/perf/sensitivity.md). '--low-snr auto' "

@@ -245,9 +245,13 @@ def lag_rows_pallas(xf, sps_min: int, lags, interpret: bool = False):
     out = _lag_rows_call(xb, lags, T, H, interpret)  # [C, S, Rk]
     # rows [Rt, R): the last tile's clamped halo poisons q there, and
     # rows past Rk were never computed — recompute via the XLA planes
-    # math on a small tail slice (global row r == slice row r - Rt)
+    # math on a small tail slice (global row r == slice row r - Rt).
+    # The no-tail fast path needs the kernel to have covered EVERY row
+    # (Rk == R): a single-tile kernel (Rt == 0) under a ragged row
+    # count must still take the tail branch, whose empty kernel prefix
+    # concatenates cleanly with the full planes-math recompute.
     Rt = max(Rk - H, 0)
-    if Rt == 0:
+    if Rt == 0 and Rk == R:
         e = out[:, 0, :R]
         qs = {l: (out[:, 1 + 2 * s, :R], out[:, 2 + 2 * s, :R])
               for s, l in enumerate(lags)}

@@ -484,6 +484,34 @@ class WidebandStreamingReceiver:
                             16 * cfg_sf.samples_per_symbol)
 
 
+def pump_file(sr, path: str, chunk_samples: Optional[int] = None,
+              close: bool = True) -> List[Frame]:
+    """Drive any streaming receiver (narrowband or wideband/gateway)
+    from a cf32 capture file: chunked reads, push/flush, close.
+
+    A trailing partial complex64 element (a recorder killed mid-write
+    leaves ``size % 8 != 0``) is dropped, matching ``np.fromfile``'s
+    whole-capture behavior instead of crashing on the last chunk.
+    """
+    chunk = chunk_samples or sr.block_len
+    frames: List[Frame] = []
+    carry = b""
+    with open(path, "rb") as f:
+        while True:
+            raw = carry + f.read(chunk * 8)
+            if not raw:
+                break
+            n = len(raw) // 8 * 8
+            carry = raw[n:]
+            if not n:
+                break
+            frames += sr.push(np.frombuffer(raw[:n], dtype=np.complex64))
+    frames += sr.flush()
+    if close:
+        sr.close()
+    return frames
+
+
 def stream_file(
     path: str,
     receiver: DenseReceiver,
@@ -495,14 +523,4 @@ def stream_file(
     the end-to-end analogue of ``file_source -> lora_receiver`` in the
     reference demo flowgraph (apps/lora_receive_file_nogui.py:30-40)."""
     sr = StreamingReceiver(receiver, block_symbols, sinks)
-    chunk = chunk_samples or sr.block_len
-    frames: List[Frame] = []
-    with open(path, "rb") as f:
-        while True:
-            raw = f.read(chunk * 8)
-            if not raw:
-                break
-            frames += sr.push(np.frombuffer(raw, dtype=np.complex64))
-    frames += sr.flush()
-    sr.close()
-    return frames
+    return pump_file(sr, path, chunk_samples)

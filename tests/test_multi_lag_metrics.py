@@ -77,6 +77,28 @@ def test_lag_rows_pallas_interpret(dtype, R_extra):
             )
 
 
+def test_lag_rows_pallas_single_tile_ragged():
+    """Regression (round-5 review): a single-tile kernel (Rt == 0)
+    under a ragged row count (R > Rk) must take the tail-recompute
+    branch — the fast path used to slice rows the kernel never
+    computed and crash on the reshape."""
+    sps_min = 128
+    ms = (1, 2, 4, 8, 16, 32)
+    R = 40                       # T=32=H selected -> Rk=32, Rt=0, R>Rk
+    xf = jnp.asarray(_planes(1, R * sps_min, seed=2))
+    got = lag_rows_pallas(xf, sps_min, ms, interpret=True)
+    assert got is not None
+    e_g, qs_g = got
+    e_w, qs_w = lag_rows_planes(xf, sps_min, ms)
+    np.testing.assert_allclose(np.asarray(e_g), np.asarray(e_w), rtol=1e-5)
+    for m in ms:
+        valid = R - m
+        for a, b in zip(qs_g[m], qs_w[m]):
+            np.testing.assert_allclose(
+                np.asarray(a)[..., :valid], np.asarray(b)[..., :valid],
+                rtol=1e-4, atol=1e-3)
+
+
 def test_lag_rows_pallas_geometry_fallback():
     # sps not a lane multiple -> None (caller falls back to planes math)
     xf = jnp.asarray(_planes(1, 100 * 100))
