@@ -681,6 +681,82 @@ class StreamingLoRaReceiver:
                 s.close()
 
 
+class StreamingGateway:
+    """Gateway flowgraph block: every channel x every spreading factor,
+    streaming with bounded memory.
+
+    Wraps a :class:`~lora_tpu.wideband.MultiSFWidebandReceiver` (PFB
+    grid, ``channels`` param) or a :class:`~lora_tpu.plans.PlanGateway`
+    (``plan`` param: EU868/US915/AU915 on the LoRaWAN raster) inside
+    :class:`~lora_tpu.stream.WidebandStreamingReceiver`. The reference
+    needs one full flowgraph per (channel, SF) pair; this is one block.
+    """
+
+    def __init__(self, samp_rate: float = 2e6, center_freq: float = 868.0e6,
+                 channels: int = 8, plan: str = "",
+                 sfs: Sequence[int] = (7, 8, 9, 10, 11, 12), cr: int = 4,
+                 crc: bool = True, implicit: bool = False,
+                 bandwidth: float = 125e3, sync_word: Optional[int] = None,
+                 pool: int = 16, block_symbols: int = 512,
+                 bf16: bool = False, header_checksum: bool = False):
+        from .stream import WidebandStreamingReceiver
+
+        kw = {}
+        if bf16:
+            import jax.numpy as jnp
+
+            kw["plane_dtype"] = jnp.bfloat16
+        if plan:
+            from .plans import PlanGateway
+
+            gw = PlanGateway(
+                plan, float(center_freq), float(samp_rate),
+                sfs=tuple(int(s) for s in sfs), bandwidth=float(bandwidth),
+                cr=int(cr), crc=bool(crc), implicit=bool(implicit),
+                sync_word=0x34 if sync_word is None else int(sync_word),
+                pool=int(pool), header_checksum=bool(header_checksum),
+                demod_method="fft", **kw,
+            )
+        else:
+            from .config import LoRaConfig
+            from .wideband import MultiSFWidebandReceiver
+
+            M = int(channels)
+            cfg = LoRaConfig(
+                sf=int(sfs[0]), cr=int(cr),
+                samp_rate=float(samp_rate) / M, bandwidth=float(bandwidth),
+                crc=bool(crc), implicit=bool(implicit),
+                sync_word=0x00 if sync_word is None else int(sync_word),
+            )
+            gw = MultiSFWidebandReceiver(
+                cfg, M, sfs=tuple(int(s) for s in sfs), pool=int(pool),
+                demod_method="fft", header_checksum=bool(header_checksum),
+                **kw,
+            )
+        self.gateway = gw
+        self._sr = WidebandStreamingReceiver(
+            gw, block_symbols=int(block_symbols))
+
+    # the runner assigns receiver.sinks — forward to the streamer, whose
+    # _dedup_and_emit delivers frames to them
+    @property
+    def sinks(self) -> List[Any]:
+        return self._sr.sinks
+
+    @sinks.setter
+    def sinks(self, v) -> None:
+        self._sr.sinks = list(v)
+
+    def push(self, x: np.ndarray) -> List[Frame]:
+        return self._sr.push(x)
+
+    def flush(self) -> List[Frame]:
+        return self._sr.flush()
+
+    def close(self) -> None:
+        self._sr.close()
+
+
 # --------------------------------------------------------------------------
 # registry entries
 # --------------------------------------------------------------------------
@@ -721,6 +797,20 @@ _register(BlockSpec(
     doc="Complete LoRa PHY receiver (grc/lora_receiver.block.yml), "
         "streaming all listed channels (the reference decodes only "
         "channel_list[0])."))
+_register(BlockSpec(
+    "lora_gateway", "LoRa Gateway", "receiver",
+    [Param("samp_rate", "float", 2e6), Param("center_freq", "float", 868.0e6),
+     Param("channels", "int", 8), Param("plan", "string", ""),
+     Param("sfs", "int_vector", [7, 8, 9, 10, 11, 12]),
+     Param("cr", "enum[4,3,2,1]", 4), Param("crc", "bool", True),
+     Param("implicit", "bool", False), Param("bandwidth", "float", 125000),
+     Param("sync_word", "int", None), Param("pool", "int", 16),
+     Param("block_symbols", "int", 512), Param("bf16", "bool", False),
+     Param("header_checksum", "bool", False)],
+    StreamingGateway,
+    doc="Every channel x every SF in one streaming block: PFB grid "
+        "(channels=M) or a LoRaWAN regional plan (plan=EU868/US915/"
+        "AU915); the reference needs one flowgraph per (channel, SF)."))
 
 
 def _mk_socket_sink(ip="127.0.0.1", port=40868, layer=0):
@@ -805,7 +895,22 @@ class Flowgraph:
                 raise ValueError(f"unknown block id {bid!r} (block {name!r}); "
                                  f"known: {sorted(BLOCKS)}")
             reg = BLOCKS[bid]
-            params = {k: safe_eval(v, variables)
+            ptypes = {p.id: p.dtype for p in reg.params}
+
+            def _eval_param(k, v):
+                try:
+                    return safe_eval(v, variables)
+                except NameError:
+                    # a bare word in a string-typed param is the string
+                    # itself (`plan: EU868`), not a variable reference —
+                    # only string params get this leniency so numeric
+                    # variable typos still fail loudly
+                    if str(ptypes.get(k, "")).startswith(
+                            ("string", "file")):
+                        return str(v)
+                    raise
+
+            params = {k: _eval_param(k, v)
                       for k, v in (b.get("parameters") or {}).items()}
             known = {p.id for p in reg.params}
             unknown = set(params) - known
