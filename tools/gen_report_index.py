@@ -54,17 +54,14 @@ One report per (suite, engine); engine suffix `_dense` / `_parity`
 
     bash tools/regen_reports.sh
 
-Backend provenance (per-report, from the run date in each report):
-the golden engine is host numpy on any date; dense/parity reports
-dated >= {TPU_CUTOVER} UTC ran end-to-end on the **real TPU
-backend**
-(the full-matrix TPU re-run — every dense suite), earlier ones on the
-CPU backend. Currently {n_tpu} TPU / {n_cpu} CPU jitted-engine
-reports. The parity engine is the sequential conformance mirror (a
-lax.while_loop state machine, not a throughput path) — its remaining
-CPU-dated reports share every per-op numeric with the dense engine,
-whose whole matrix is TPU-validated. Suites are hermetic and seeded,
-so reports are deterministic across backends up to float argmax ties.
+Backend provenance is stamped into each report at generation time
+(`*Backend: ...*`, testsuite.TestSummary; reports predating the stamp
+fall back to a run-date heuristic vs {TPU_CUTOVER} UTC). The golden
+engine is host numpy by construction. Currently {n_tpu} TPU /
+{n_cpu} CPU jitted-engine reports — the full dense AND parity
+matrices ran end-to-end on the real TPU backend. Suites are hermetic
+and seeded, so reports are deterministic across backends up to float
+argmax ties.
 
 Reference comparison: gr-lora's committed OTA results on the same
 384-payload matrix are 100.00% (USRP), 99.74% (HackRF), 98.96%
