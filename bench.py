@@ -283,13 +283,25 @@ def main_wideband_full(n_channels: int = 1024):
          @ np.array([1, 1j], np.complex64)).astype(np.complex64)
     freqs = pfb_channel_freqs(wide_rate, M)
     pkt = modulate_frame(wide_cfg, b"\xde\xad\xbe\xef", snr_db=None)
+    # per-channel upconversion by phasor RECURRENCE, not per-channel
+    # np.exp: M per-channel exps over the packet length are the host
+    # bottleneck at full occupancy (1024 x 8M exps ~ minutes — the
+    # r5 stage-timeout cause). Adjacent PFB channels differ by one
+    # `step` multiply, and the fftfreq wrap step is exp(-2j*pi*n) = 1,
+    # so ONE running product covers all M channels; f32 rounding drift
+    # over M multiplies is ~1e-4, far under the bench noise floor.
+    tpk = np.arange(len(pkt), dtype=np.float64)
+    step = np.exp(2j * np.pi * (freqs[1] - freqs[0]) / wide_rate
+                  * tpk).astype(np.complex64)
+    vec = np.exp(2j * np.pi * freqs[0] / wide_rate * tpk).astype(
+        np.complex64)
     for c in range(M):
         pos = min((8 + (c % 7)) * cfg.samples_per_symbol * M // 8,
                   L - len(pkt) - 1)
-        tpk = np.arange(len(pkt)) + pos
-        x[pos:pos + len(pkt)] += (
-            pkt * np.exp(2j * np.pi * freqs[c] / wide_rate * tpk)
-        ).astype(np.complex64)
+        rot = np.complex64(np.exp(2j * np.pi * freqs[c] / wide_rate * pos))
+        x[pos:pos + len(pkt)] += pkt * (rot * vec)
+        if c + 1 < M:
+            vec *= step
     xd = jax.device_put(pack_iq(x))
     del x
     # pool = every channel + margin for noise candidates; per-channel
