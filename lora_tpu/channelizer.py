@@ -149,6 +149,91 @@ def make_mixer_factors(offsets_hz, samp_rate: float, length: int,
     return outer, inner
 
 
+def make_fused_fir_matrix(offsets_hz, samp_rate: float, taps,
+                          decimation: int) -> np.ndarray:
+    """Folded FIR matrix for the fused Pallas channelizer.
+
+    The decimated freq-xlating FIR ``out_c[n] = sum_k taps[k] *
+    x[nD+k] * exp(-2j*pi*a_c*(nD+k))`` splits over ``k = j*D + d`` into
+    a per-output-sample ramp ``exp(-2j*pi*a_c*D*n)`` (applied in-kernel
+    from :func:`make_output_ramp_factors`) times a contraction whose
+    coefficients ``g_c[d,j] = taps[j*D+d] * exp(-2j*pi*a_c*d) *
+    exp(-2j*pi*a_c*D*j)`` depend only on the gateway geometry — all
+    phases f64-reduced on the host, so the on-device error stays at f32
+    rounding for any n (same argument as :func:`make_mixer_factors`).
+
+    Returns ``[2C, K*2D]`` float32: rows ``0..C-1`` produce the real
+    output planes, ``C..2C-1`` the imag; feature ``f = j*2D + p*D + d``
+    multiplies input plane ``p``'s phase-``d`` stream shifted by ``j``
+    (the layout :func:`lora_tpu.ops.pallas_kernels.fused_channelize_pallas`
+    builds in VMEM).
+    """
+    a = np.asarray(offsets_hz, np.float64) / samp_rate
+    D = int(decimation)
+    taps = np.asarray(taps, np.float64)
+    Nt = len(taps)
+    K = -(-Nt // D)
+    tpad = np.zeros(K * D, np.float64)
+    tpad[:Nt] = taps
+    h = tpad.reshape(K, D)                                   # h[j, d]
+    C = len(a)
+    ph_d = -2.0 * np.pi * ((a[:, None] * np.arange(D)) % 1.0)
+    ph_j = -2.0 * np.pi * ((a[:, None] * D * np.arange(K)) % 1.0)
+    g = (h.T[None, :, :]
+         * np.exp(1j * ph_d)[:, :, None]
+         * np.exp(1j * ph_j)[:, None, :])                    # [C, D, K]
+    g_re = np.real(g).transpose(0, 2, 1)                     # [C, K, D]
+    g_im = np.imag(g).transpose(0, 2, 1)
+    A = np.stack([g_re, -g_im], axis=2)                      # [C, K, 2, D]
+    B = np.stack([g_im, g_re], axis=2)
+    G2 = np.concatenate([A.reshape(C, -1), B.reshape(C, -1)], axis=0)
+    return G2.astype(np.float32)
+
+
+def make_output_ramp_factors(offsets_hz, samp_rate: float, decimation: int,
+                             nb: int, tile: int):
+    """Factored per-output-sample mixer ramp for the fused channelizer.
+
+    ``ramp_c[n] = exp(-2j*pi*a_c*D*n)`` for output sample ``n = i*tile
+    + l`` factors into an outer tile phasor ``[C, nb]`` and an inner
+    ramp ``[C, tile]`` (both f64 phase-reduced). Returns
+    ``(o_re, o_im, i_re, i_im)`` float32 — O(C*(nb+tile)) memory vs the
+    O(C*L) full table, which keeps streaming use memory-bounded."""
+    b = np.asarray(offsets_hz, np.float64) * decimation / samp_rate
+    ph_o = -2.0 * np.pi * ((b[:, None] * tile * np.arange(nb)) % 1.0)
+    ph_i = -2.0 * np.pi * ((b[:, None] * np.arange(tile)) % 1.0)
+    return (np.cos(ph_o).astype(np.float32), np.sin(ph_o).astype(np.float32),
+            np.cos(ph_i).astype(np.float32), np.sin(ph_i).astype(np.float32))
+
+
+def channelize_list_planes_fused(xf, taps, offsets_hz, samp_rate: float,
+                                 decimation: int, g2=None, ramp=None,
+                                 tile: int = 1024, interpret: bool = False):
+    """Fused-kernel form of :func:`channelize_list_planes_factored`.
+
+    One Pallas pass: the wideband input is read from HBM once for ALL
+    channels (vs the XLA path's [C, 2, L] mixed intermediate).
+    ``g2``/``ramp`` may be precomputed (see :func:`make_fused_fir_matrix`
+    / :func:`make_output_ramp_factors`); pass them from a per-block-length
+    cache in streaming use. Returns ``None`` when the geometry can't
+    tile — callers fall back to the factored XLA path.
+    """
+    from .ops.pallas_kernels import fused_channelize_pallas
+
+    D = int(decimation)
+    Nt = len(np.asarray(taps))
+    if g2 is None:
+        g2 = make_fused_fir_matrix(offsets_hz, samp_rate, taps, D)
+    if ramp is None:
+        n_out = (xf.shape[-1] - Nt) // D + 1
+        if n_out < 1:
+            return None
+        ramp = make_output_ramp_factors(offsets_hz, samp_rate, D,
+                                        -(-n_out // tile), tile)
+    return fused_channelize_pallas(xf, g2, ramp, D, Nt, tile=tile,
+                                   interpret=interpret)
+
+
 def channelize_list_planes_factored(xf, taps, outer, inner, decimation: int):
     """:func:`channelize_list_planes` with the factored mixer.
 

@@ -383,6 +383,127 @@ def pfb_fir_pallas(xf, h_poly, out_dtype=jnp.float32, interpret: bool = False):
     return jnp.concatenate([full[:, :k_rows], acc.astype(out_dtype)], axis=1)
 
 
+def _fused_chan_kernel(x_ref, halo_ref, g2_ref, or_ref, oi_ref, ir_ref,
+                       ii_ref, out_ref, *, n_chan, n_shift):
+    """Fused mix + decimating-FIR tile: one MXU contraction per tile.
+
+    ``x_ref``: ``[2D, T]`` phase-major input planes (rows 0..D-1 = real
+    plane phases, D..2D-1 = imag); ``halo_ref``: the 128 columns
+    following the tile; ``g2_ref``: ``[2C, K*2D]`` folded FIR matrix
+    (taps x per-phase mixer constants x per-tap ramp, host-built in
+    f64 — see channelizer.make_fused_fir_matrix); ``or_ref``/``oi_ref``:
+    ``[1, C, 1]`` this tile's outer ramp phasor (SMEM scalars — a
+    dynamic lane index in VMEM can't be proven 128-aligned, and the
+    block-shape rule wants the last two dims equal to the array's);
+    ``ir_ref``/``ii_ref``: ``[C, T]`` inner ramp planes. Output
+    ``[C, 2, T]`` channel planes.
+
+    Each input element is read from HBM ONCE for ALL channels — vs the
+    factored-mixer XLA path whose [C, 2, L] mixed intermediate and
+    [.., Q, K] matmul give ~20x the input's traffic (docs/perf/NOTES.md
+    "Plan-gateway cost shape")."""
+    C = n_chan
+    T = x_ref.shape[1]
+    twoD = x_ref.shape[0]
+    full = jnp.concatenate([x_ref[:, :], halo_ref[:, :]], axis=1)
+    # K shifted views, one [2C, 2D]@[2D, T] MXU contraction each
+    # (stacking the views on sublanes for a single matmul trips a
+    # Mosaic concat-layout limitation: the slices carry lane offsets)
+    s = jnp.zeros((2 * C, T), jnp.float32)
+    for j in range(n_shift):
+        s = s + jnp.dot(g2_ref[:, j * twoD : (j + 1) * twoD],
+                        full[:, j : j + T],
+                        preferred_element_type=jnp.float32)
+    for c in range(C):
+        o_re = or_ref[0, c, 0]
+        o_im = oi_ref[0, c, 0]
+        ir = ir_ref[c : c + 1, :]                                   # [1, T]
+        ii = ii_ref[c : c + 1, :]
+        rr = o_re * ir - o_im * ii
+        ri = o_re * ii + o_im * ir
+        s_re = s[c : c + 1, :]
+        s_im = s[C + c : C + c + 1, :]
+        out_ref[c, 0:1, :] = rr * s_re - ri * s_im
+        out_ref[c, 1:2, :] = ri * s_re + rr * s_im
+
+
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+def _fused_chan_call(xp, g2, o_re, o_im, i_re, i_im, D: int,
+                     K: int, T: int, interpret: bool):
+    twoC, F = g2.shape
+    C = twoC // 2
+    nb = o_re.shape[-1]
+    o_re = o_re.T.reshape(nb, C, 1)
+    o_im = o_im.T.reshape(nb, C, 1)
+    kernel = pl.pallas_call(
+        functools.partial(_fused_chan_kernel, n_chan=C, n_shift=K),
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((2 * D, T), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            # 128 columns following the tile (the input is padded to
+            # nb*T + 128 columns, so no clamping and no tail recompute:
+            # zero pad columns only feed outputs past n_out)
+            pl.BlockSpec((2 * D, 128), lambda i: (0, (i + 1) * T // 128),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoC, F), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((C, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, 2, T), lambda i: (0, 0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((C, 2, nb * T), jnp.float32),
+        interpret=interpret,
+    )
+    return kernel(xp, xp, g2, o_re, o_im, i_re, i_im)
+
+
+def fused_channelize_pallas(xf, g2, ramp, decimation: int, n_taps: int,
+                            tile: int = 1024, interpret: bool = False):
+    """Fused mix+FIR+decimate over a LoRaWAN channel raster.
+
+    ``xf``: packed wideband IQ ``[2, L]`` float32; ``g2``: the
+    :func:`lora_tpu.channelizer.make_fused_fir_matrix` ``[2C, K*2D]``
+    matrix; ``ramp``: ``(o_re, o_im, i_re, i_im)`` output-rate factored
+    mixer from :func:`lora_tpu.channelizer.make_output_ramp_factors`
+    (built for this L and ``tile``). Returns channel planes
+    ``[C, 2, n_out]``, ``n_out = (L - n_taps)//D + 1`` — numerically the
+    correlation-form ``freq_xlating_fir`` decimator, identical (to f32
+    matmul rounding) to ``channelize_list_planes_factored``. ``None``
+    when the geometry can't tile (caller falls back to the XLA path).
+    Reference: lib/channelizer_impl.cc:46-48, batched over the plan.
+    """
+    D = int(decimation)
+    K = -(-int(n_taps) // D)
+    T = int(tile)
+    if D < 2 or T % 128 != 0 or K > 128:
+        return None
+    if 2 * D * K > 1024 or 2 * D * K * T * 4 > 4 * 1024 * 1024:
+        return None
+    L = xf.shape[-1]
+    n_out = (L - int(n_taps)) // D + 1
+    if n_out < 1:
+        return None
+    nb = -(-n_out // T)
+    o_re, o_im, i_re, i_im = (jnp.asarray(r) for r in ramp)
+    if o_re.shape[-1] != nb or i_re.shape[-1] != T:
+        raise ValueError(
+            f"ramp factors built for nb={o_re.shape[-1]}, tile="
+            f"{i_re.shape[-1]}; this call needs nb={nb}, tile={T}")
+    Qp = nb * T + 128
+    xpad = jnp.pad(xf, ((0, 0), (0, Qp * D - L)))
+    # phase-major planes [2D, Qp]: row p*D + d = plane p's phase-d stream
+    xp = xpad.reshape(2, Qp, D).transpose(0, 2, 1).reshape(2 * D, Qp)
+    out = _fused_chan_call(xp, jnp.asarray(g2), o_re, o_im, i_re, i_im,
+                           D, K, T, interpret)
+    return out[:, :, :n_out]
+
+
 def detection_metrics_pallas(xf, sps: int, interpret: bool = False,
                              variant: str = "pp"):
     """Single-pass detection metrics on packed IQ ``[..., 2, L]``.

@@ -75,12 +75,14 @@ class PlanGateway:
         pool: Optional[int] = None,
         transition_hz: Optional[float] = None,
         plane_dtype=None,
+        fused: Optional[bool] = None,
+        fused_interpret: bool = False,
         **dense_kwargs,
     ):
         import jax
 
         from .channelizer import (channelize_list_planes_factored,
-                                  firdes_low_pass)
+                                  firdes_low_pass, make_fused_fir_matrix)
         from .rx.dense import DenseReceiver
 
         if isinstance(plan, str):
@@ -142,18 +144,29 @@ class PlanGateway:
         # bf16 halves detection + Phase B gather traffic at the
         # validated ~40 dB quantization floor; mixing/FIR stay f32)
         self.plane_dtype = plane_dtype
+        # fused Pallas channelizer (one HBM pass over the wideband
+        # input for ALL channels; see ops.pallas_kernels.
+        # fused_channelize_pallas — measured 2.7x the factored XLA
+        # mix+FIR on the EU868 geometry). Auto on TPU; ``fused=True``
+        # forces it (tests run it in interpret mode on CPU).
+        self._fused_tile = 1024
+        self._fused_interpret = bool(fused_interpret)
+        if fused is None:
+            fused = jax.default_backend() == "tpu"
+        K = -(-len(self.taps) // decim)
+        geom_ok = (decim >= 2 and 2 * decim * K <= 1024
+                   and 2 * decim * K * self._fused_tile * 4 <= 4 << 20)
+        self._g2 = (
+            make_fused_fir_matrix(self.offsets, samp_rate, self.taps, decim)
+            if (fused and geom_ok) else None
+        )
 
-        def process(xf, outer, inner):
-            """packed wideband ``[2, L]`` + factored mixer planes
-            (``[C, 2, nI]``, ``[C, 2, tile]``) -> {sf: PooledResult}.
-            (Packed because complex64 can't cross the host<->device
-            boundary on some TPU runtimes — see lora_tpu.ops.xfer.)
-            The per-SF detection metrics share one multi-lag pass over
-            the channel planes (see rx.frontend.multi_sf_detection_metrics)."""
+        def _decode_planes(cp):
+            """Channel planes ``[C, 2, Lc]`` -> {sf: PooledResult}; the
+            per-SF detection metrics share one multi-lag pass over the
+            planes (rx.frontend.multi_sf_detection_metrics)."""
             from .rx.frontend import multi_sf_detection_metrics
 
-            cp = channelize_list_planes_factored(
-                xf, self.taps, outer, inner, self.decim)
             if self.plane_dtype is not None:
                 cp = cp.astype(self.plane_dtype)
             # materialize the channel planes ONCE: the factored mixer +
@@ -161,8 +174,8 @@ class PlanGateway:
             # XLA duplicates it into every consumer — each pooled Phase
             # B window gather would re-derive its samples through the
             # whole mix+FIR chain (measured 20x on the EU868 gateway:
-            # 486 -> 25 ms class). The detection pass's Pallas kernel
-            # already forces materialization on its own path.
+            # 486 -> 25 ms class). A no-op after the Pallas fused
+            # channelizer, which materializes its output by nature.
             cp = jax.lax.optimization_barrier(cp)
             metrics = (
                 multi_sf_detection_metrics(
@@ -177,8 +190,29 @@ class PlanGateway:
                 for sf, rx in self.rxs.items()
             }
 
+        def process(xf, outer, inner):
+            """packed wideband ``[2, L]`` + factored mixer planes
+            (``[C, 2, nI]``, ``[C, 2, tile]``) -> {sf: PooledResult}.
+            (Packed because complex64 can't cross the host<->device
+            boundary on some TPU runtimes — see lora_tpu.ops.xfer.)"""
+            cp = channelize_list_planes_factored(
+                xf, self.taps, outer, inner, self.decim)
+            return _decode_planes(cp)
+
+        def process_fused(xf, g2, o_re, o_im, i_re, i_im):
+            """packed wideband ``[2, L]`` + the fused-kernel tables
+            (make_fused_fir_matrix / make_output_ramp_factors)."""
+            from .ops.pallas_kernels import fused_channelize_pallas
+
+            cp = fused_channelize_pallas(
+                xf, g2, (o_re, o_im, i_re, i_im), self.decim,
+                len(self.taps), tile=self._fused_tile,
+                interpret=self._fused_interpret)
+            return _decode_planes(cp)
+
         self.process_fn = process
         self._process = jax.jit(process)
+        self._process_fused = jax.jit(process_fused)
         # length -> factored mixer (outer [C,2,nI], inner [C,2,tile]):
         # O(C * (L/tile + tile)) host floats vs the O(C * L) full table
         # this replaces — streaming/long captures are now memory-bounded
@@ -196,7 +230,7 @@ class PlanGateway:
         the wideband rate) so tail packets keep a full decode region."""
         import jax
 
-        from .channelizer import make_mixer_factors
+        from .channelizer import make_mixer_factors, make_output_ramp_factors
         from .ops.xfer import pack_iq
 
         if not isinstance(x, jax.Array):
@@ -206,6 +240,17 @@ class PlanGateway:
                            (0, self.max_pkt_samples * self.decim))
                 x = pack_iq(x)
         L = x.shape[-1]
+        n_out = (L - len(self.taps)) // self.decim + 1
+        if self._g2 is not None and n_out >= 1:
+            key = ("fused", L)
+            if key not in self._mixer_cache:
+                if len(self._mixer_cache) >= 2:
+                    self._mixer_cache.pop(next(iter(self._mixer_cache)))
+                self._mixer_cache[key] = make_output_ramp_factors(
+                    self.offsets, self.samp_rate, self.decim,
+                    -(-n_out // self._fused_tile), self._fused_tile)
+            ramp = self._mixer_cache[key]
+            return self._process_fused(x, self._g2, *ramp)
         if L not in self._mixer_cache:
             # f64-accurate factored host mixers, keyed by block length so
             # repeated block lengths reuse tables + compile; capped at two

@@ -69,6 +69,33 @@ def test_decimating_fir_matches_convolve_all_geometries():
                                    err_msg=f"D={D} Nt={Nt} L={L}")
 
 
+def test_fused_channelizer_matches_factored():
+    """The fused Pallas mix+FIR+decimate kernel (interpret mode here;
+    compiled on TPU) must match the factored XLA path to f32 rounding —
+    same correlation-form freq_xlating_fir semantics, one HBM pass."""
+    import jax.numpy as jnp
+
+    from lora_tpu.channelizer import channelize_list_planes_fused
+
+    rng = np.random.default_rng(3)
+    for D, ntaps, C, L in [(4, 19, 3, 4429), (8, 77, 5, 33000),
+                           (2, 9, 1, 2100)]:
+        taps = rng.normal(0, 1, ntaps).astype(np.float32)
+        offs = np.linspace(-300e3, 300e3, C)
+        rate = 2e6
+        x = (rng.normal(0, 1, L) + 1j * rng.normal(0, 1, L)).astype(
+            np.complex64)
+        xf = jnp.asarray(pack_iq(x))
+        outer, inner = make_mixer_factors(offs, rate, L)
+        want = np.asarray(channelize_list_planes_factored(
+            xf, taps, outer, inner, D))
+        got = channelize_list_planes_fused(xf, taps, offs, rate, D,
+                                           tile=128, interpret=True)
+        assert got is not None, (D, ntaps, C, L)
+        np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4,
+                                   atol=2e-4, err_msg=f"D={D} L={L}")
+
+
 def _make_capture(center, rate, placements, L, seed=7):
     rng = np.random.default_rng(seed)
     x = (rng.normal(0, 1e-4, L) + 1j * rng.normal(0, 1e-4, L)).astype(
@@ -123,3 +150,28 @@ def test_plan_gateway_streams_with_bounded_blocks():
             for f in gw.run(x)}
     assert {(f.tap_header.sf, f.tap_header.frequency, f.payload)
             for f in frames} == want
+
+
+def test_plan_gateway_fused_channelizer_decodes_identically():
+    """End-to-end: the fused-kernel gateway (interpret mode on CPU;
+    the TPU default) decodes the same frames as the factored XLA
+    path."""
+    center, rate = 867.3e6, 1e6
+    sps8 = int(2 ** 8 * rate / 125e3)
+    placements = [
+        (7, 867.1e6, b"\x42\x43", 2 * sps8),
+        (8, 867.5e6, b"\x24", 14 * sps8),
+    ]
+    L = 60 * sps8
+    x = _make_capture(center, rate, placements, L)
+    kw = dict(sfs=(7, 8), pool=8, max_candidates=2, max_symbols=16,
+              sfd_search=10, demod_method="fft")
+    gw_x = PlanGateway("EU868", center, rate, fused=False, **kw)
+    gw_f = PlanGateway("EU868", center, rate, fused=True,
+                       fused_interpret=True, **kw)
+    assert gw_f._g2 is not None
+    key = lambda f: (f.tap_header.sf, f.tap_header.frequency, f.payload)
+    want = sorted(key(f) for f in gw_x.run(x))
+    got = sorted(key(f) for f in gw_f.run(x))
+    assert len(want) == len(placements)
+    assert got == want
