@@ -6,9 +6,13 @@ docs/perf/NOTES.md: profile by cumulative ablation, never by feeding an
 internal array as a jit input):
   mix       factored mixer multiply only ([C, L] mixed planes, summed)
   chan      + decimating FIR (channelize_list_planes_factored)
+  fchan     the fused Pallas mix+FIR+decimate kernel (one HBM pass)
   det1      + one SF's detection metrics
   det6      + all six SFs' shared multi-lag metrics
-  full      the whole gateway
+  full      the whole gateway (fused kernel on TPU; one result leaf is
+            fetched — fetching the whole 6-SF result tree costs ~60
+            small device->host reads over the remote tunnel and
+            swamps the compute being measured)
 Usage: python tools/profile_plan_gateway.py [plan] [rounds]
 """
 
@@ -72,6 +76,14 @@ def main():
         cp = channelize_list_planes_factored(xf, taps, o, inr, decim)
         return jnp.sum(cp)
 
+    from lora_tpu.channelizer import channelize_list_planes_fused
+
+    @jax.jit
+    def fchan_only(xf):
+        cp = channelize_list_planes_fused(xf, taps, gw.offsets,
+                                          gw.samp_rate, decim)
+        return jnp.sum(cp)
+
     sps_by_sf = {sf: rx.sps for sf, rx in gw.rxs.items()}
 
     @jax.jit
@@ -86,17 +98,23 @@ def main():
         m = multi_sf_detection_metrics(cp, sps_by_sf)
         return sum(jnp.sum(v[0]) for v in m.values())
 
-    stages = [("mix", mix_only), ("chan", chan_only), ("det1", det1),
-              ("det6", det6), ("full", lambda xf: gw.process(xf))]
+    def full(xf):
+        # one leaf fetched as the completion barrier (TPU executes in
+        # order); tree_map(asarray) here would measure ~60 remote
+        # fetches, not the gateway
+        return gw.process(xf)[min(sps_by_sf)].valid
+
+    stages = [("mix", mix_only), ("chan", chan_only),
+              ("fchan", fchan_only), ("det1", det1), ("det6", det6),
+              ("full", full)]
     for name, fn in stages:
-        r = fn(xd)
-        jax.tree_util.tree_map(lambda a: np.asarray(a), r)
+        np.asarray(fn(xd))
         best = float("inf")
         for _ in range(rounds):
             t0 = time.perf_counter()
             for _ in range(3):
                 r = fn(xd)
-            jax.tree_util.tree_map(lambda a: np.asarray(a), r)
+            np.asarray(r)
             best = min(best, (time.perf_counter() - t0) / 3)
         print(f"{name:5s}: {best * 1e3:8.2f} ms  ({L / best / 1e6:7.0f} Ms/s)",
               flush=True)
