@@ -194,7 +194,13 @@ def main_plan_gateway(plan: str = "EU868"):
     from lora_tpu.tx.modulator import modulate_frame
     from lora_tpu.ops.xfer import pack_iq
 
-    center, rate = 868.0e6, 2e6
+    # EU868: the 2 MHz band holding all 8 conventional channels (D=8).
+    # US915/AU915: an 8 MHz slice of the 64-channel raster (D=32 — the
+    # wide fused-kernel geometry; the reference extracts ONE channel
+    # from such a capture).
+    center, rate = {"US915": (903.0e6, 8e6),
+                    "AU915": (919.0e6, 8e6)}.get(plan.upper(),
+                                                 (868.0e6, 2e6))
     sfs = (7, 8, 9, 10, 11, 12)
     gw = PlanGateway(plan, center, rate, sfs=sfs, pool=24,
                      max_candidates=2, max_symbols=24, sfd_search=12,
