@@ -516,4 +516,5 @@ if __name__ == "__main__":
         _subprocess_stage(["--gateway", "256"], 540.0)
         _subprocess_stage(["--wideband-full", "1024"], 540.0)
         _subprocess_stage(["--plan-gateway", "EU868"], 540.0)
+        _subprocess_stage(["--plan-gateway", "US915"], 540.0)
         main()

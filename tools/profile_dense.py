@@ -37,10 +37,12 @@ def bench_fn(fn, x, iters=10, rounds=4):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(x)
-        # host fetch of (a slice of) the last output = completion barrier
-        leaves = jax.tree_util.tree_leaves(out)
-        for lf in leaves[:2]:
-            np.asarray(lf).ravel()[:4]
+        # host fetch of ONE ELEMENT of the last output = completion
+        # barrier (indexing runs device-side; np.asarray of a whole
+        # leaf would pull hundreds of MB through the remote tunnel and
+        # swamp the measurement — the docs/perf/NOTES.md fetch trap)
+        lf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(lf[tuple(0 for _ in lf.shape)] if lf.shape else lf)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -97,8 +99,9 @@ def main():
     t = bench_fn(jax.jit(gather), xd)
     print(f"B  lane gather only:      {t*1e3:7.2f} ms  {nsamp/t/1e6:6.0f} Ms/s")
 
-    # --- full pipeline ---
-    t = bench_fn(rx._process, xd)
+    # --- full pipeline (tables ride as jit args; see rx/dense.py) ---
+    tabs = rx._tables_device()
+    t = bench_fn(lambda a: rx._process(a, tabs), xd)
     print(f"E2E full process:         {t*1e3:7.2f} ms  {nsamp/t/1e6:6.0f} Ms/s")
 
     # --- Phase B alone (metrics precomputed) ---

@@ -35,7 +35,10 @@ def bench_fn(fn, x, iters=10, rounds=4):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(x)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        # one-element device-side index then fetch: np.asarray of a
+        # whole leaf pulls the full array through the remote tunnel
+        lf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(lf[tuple(0 for _ in lf.shape)] if lf.shape else lf)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -118,7 +121,8 @@ def main():
               f"{nsamp/t/1e6:6.0f} Ms/s  (+{(t-base)*1e3:.2f} ms)",
               flush=True)
         base_prev = t
-    t = bench_fn(rx._process, xd)
+    tabs = rx._tables_device()
+    t = bench_fn(lambda a: rx._process(a, tabs), xd)
     print(f"E2E full process:       {t*1e3:7.2f} ms  {nsamp/t/1e6:6.0f} Ms/s")
 
 

@@ -32,7 +32,10 @@ def bench_fn(fn, x, iters=10, rounds=4):
         t0 = time.perf_counter()
         for _ in range(iters):
             out = fn(x)
-        np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+        # one-element device-side index then fetch: np.asarray of a
+        # whole leaf pulls the full array through the remote tunnel
+        lf = jax.tree_util.tree_leaves(out)[0]
+        np.asarray(lf[tuple(0 for _ in lf.shape)] if lf.shape else lf)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
