@@ -198,12 +198,16 @@ def make_output_ramp_factors(offsets_hz, samp_rate: float, decimation: int,
     + l`` factors into an outer tile phasor ``[C, nb]`` and an inner
     ramp ``[C, tile]`` (both f64 phase-reduced). Returns
     ``(o_re, o_im, i_re, i_im)`` float32 — O(C*(nb+tile)) memory vs the
-    O(C*L) full table, which keeps streaming use memory-bounded."""
-    b = np.asarray(offsets_hz, np.float64) * decimation / samp_rate
-    ph_o = -2.0 * np.pi * ((b[:, None] * tile * np.arange(nb)) % 1.0)
-    ph_i = -2.0 * np.pi * ((b[:, None] * np.arange(tile)) % 1.0)
-    return (np.cos(ph_o).astype(np.float32), np.sin(ph_o).astype(np.float32),
-            np.cos(ph_i).astype(np.float32), np.sin(ph_i).astype(np.float32))
+    O(C*L) full table, which keeps streaming use memory-bounded.
+
+    The output-rate ramp at D*offset IS the input-rate mixer factored
+    over ``nb * tile`` samples — delegate to :func:`make_mixer_factors`
+    (one copy of the f64 phase-reduction trick) and unstack its planes.
+    """
+    offs = np.asarray(offsets_hz, np.float64) * decimation
+    outer, inner = make_mixer_factors(offs, samp_rate, nb * tile, tile=tile)
+    return (outer[:, 0].copy(), outer[:, 1].copy(),
+            inner[:, 0].copy(), inner[:, 1].copy())
 
 
 def channelize_list_planes_fused(xf, taps, offsets_hz, samp_rate: float,

@@ -463,6 +463,22 @@ def _fused_chan_call(xp, g2, o_re, o_im, i_re, i_im, D: int,
     return kernel(xp, xp, g2, o_re, o_im, i_re, i_im)
 
 
+def fused_channelize_geometry_ok(decimation: int, n_taps: int,
+                                 tile: int = 1024) -> bool:
+    """Static-geometry predicate for :func:`fused_channelize_pallas` —
+    the ONE definition shared with PlanGateway's path choice (a drifted
+    duplicate once routed un-tileable geometries into the kernel and
+    crashed instead of falling back to the XLA path)."""
+    D = int(decimation)
+    K = -(-int(n_taps) // D)
+    T = int(tile)
+    if D < 2 or T % 128 != 0 or K > 128:
+        return False
+    if 2 * D * K > 1024 or 2 * D * K * T * 4 > 4 * 1024 * 1024:
+        return False
+    return True
+
+
 def fused_channelize_pallas(xf, g2, ramp, decimation: int, n_taps: int,
                             tile: int = 1024, interpret: bool = False):
     """Fused mix+FIR+decimate over a LoRaWAN channel raster.
@@ -481,9 +497,7 @@ def fused_channelize_pallas(xf, g2, ramp, decimation: int, n_taps: int,
     D = int(decimation)
     K = -(-int(n_taps) // D)
     T = int(tile)
-    if D < 2 or T % 128 != 0 or K > 128:
-        return None
-    if 2 * D * K > 1024 or 2 * D * K * T * 4 > 4 * 1024 * 1024:
+    if not fused_channelize_geometry_ok(D, n_taps, T):
         return None
     L = xf.shape[-1]
     n_out = (L - int(n_taps)) // D + 1

@@ -153,12 +153,12 @@ class PlanGateway:
         self._fused_interpret = bool(fused_interpret)
         if fused is None:
             fused = jax.default_backend() == "tpu"
-        K = -(-len(self.taps) // decim)
-        geom_ok = (decim >= 2 and 2 * decim * K <= 1024
-                   and 2 * decim * K * self._fused_tile * 4 <= 4 << 20)
+        from .ops.pallas_kernels import fused_channelize_geometry_ok
+
         self._g2 = (
             make_fused_fir_matrix(self.offsets, samp_rate, self.taps, decim)
-            if (fused and geom_ok) else None
+            if (fused and fused_channelize_geometry_ok(
+                decim, len(self.taps), self._fused_tile)) else None
         )
 
         def _decode_planes(cp):

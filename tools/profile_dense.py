@@ -27,24 +27,7 @@ from lora_tpu.tx.modulator import modulate_frame
 from lora_tpu.ops.xfer import pack_iq
 
 
-def bench_fn(fn, x, iters=10, rounds=4):
-    t0 = time.perf_counter()
-    out = fn(x)
-    jax.block_until_ready(out)
-    print(f"  [compile+warmup {time.perf_counter()-t0:.0f}s]", flush=True)
-    best = float("inf")
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(x)
-        # host fetch of ONE ELEMENT of the last output = completion
-        # barrier (indexing runs device-side; np.asarray of a whole
-        # leaf would pull hundreds of MB through the remote tunnel and
-        # swamp the measurement — the docs/perf/NOTES.md fetch trap)
-        lf = jax.tree_util.tree_leaves(out)[0]
-        np.asarray(lf[tuple(0 for _ in lf.shape)] if lf.shape else lf)
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+from benchutil import bench_fn  # noqa: E402 (shared barrier)
 
 
 def main():

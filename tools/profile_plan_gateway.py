@@ -35,7 +35,11 @@ def main():
 
     plan = sys.argv[1] if len(sys.argv) > 1 else "EU868"
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    gw = PlanGateway(plan, 868.0e6, 2e6, sfs=(7, 8, 9, 10, 11, 12),
+    # per-plan capture geometry (same map as bench.main_plan_gateway)
+    center, rate = {"US915": (903.0e6, 8e6),
+                    "AU915": (919.0e6, 8e6)}.get(plan.upper(),
+                                                 (868.0e6, 2e6))
+    gw = PlanGateway(plan, center, rate, sfs=(7, 8, 9, 10, 11, 12),
                      pool=24, max_candidates=2, max_symbols=24,
                      sfd_search=12, demod_method="fft")
     max_sps = max(rx.sps for rx in gw.rxs.values())
