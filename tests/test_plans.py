@@ -66,3 +66,40 @@ def test_plan_gateway_rejects_bad_geometry():
         PlanGateway("US915", 868.3e6, 2e6)  # no channel in band
     with pytest.raises(ValueError):
         PlanGateway("bogus", 868.3e6, 2e6)
+
+
+def test_plan_gateway_decodes_with_cfo_and_noise():
+    """Impairment robustness through the mixer-bank channelizer: a plan
+    channel carrying a packet with carrier offset (the sub-bin range
+    the dense receiver corrects standalone; larger offsets ride the
+    auto_cfo feedback loop, test_cfo.py) and 10 dB SNR must still
+    decode — the channel filter (bw/2 + 15 kHz cutoff, reference
+    lib/channelizer_impl.cc:46) passes the offset signal and the
+    per-SF receiver's CFO estimate absorbs it."""
+    center, rate = 868.3e6, 2e6
+    gw = PlanGateway("EU868", center, rate, sfs=(7, 9), pool=8,
+                     max_candidates=2, max_symbols=16, sfd_search=10,
+                     demod_method="fft")
+    rng = np.random.default_rng(11)
+    sps9 = int(2 ** 9 * rate / 125e3)
+    L = 56 * sps9
+    x = (rng.normal(0, 1e-4, L) + 1j * rng.normal(0, 1e-4, L)).astype(
+        np.complex64)
+    t = np.arange(L, dtype=np.float64)
+    placements = [(7, 868.1e6, b"\x42\x43", 450.0, 10.0),
+                  (9, 867.9e6, b"\x24", -380.0, 12.0)]
+    for i, (sf, f_abs, payload, cfo, snr) in enumerate(placements):
+        wcfg = LoRaConfig(sf=sf, cr=4, samp_rate=rate, crc=True,
+                          sync_word=0x34)
+        pkt = modulate_frame(wcfg, payload, cfo_hz=cfo, snr_db=snr,
+                             seed=100 + i)
+        pos = (2 + 16 * i) * sps9
+        off = f_abs - center
+        x[pos:pos + len(pkt)] += (
+            pkt * np.exp(2j * np.pi * off / rate * t[pos:pos + len(pkt)])
+        ).astype(np.complex64)
+    got = {(f.tap_header.sf, f.tap_header.frequency): f.payload
+           for f in gw.run(x)}
+    for sf, f_abs, payload, _, _ in placements:
+        assert (sf, int(f_abs)) in got, (sf, f_abs, sorted(got))
+        assert got[(sf, int(f_abs))][: len(payload)] == payload
