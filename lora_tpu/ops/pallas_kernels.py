@@ -396,7 +396,10 @@ def _fused_chan_kernel(x_ref, halo_ref, g2_ref, or_ref, oi_ref, ir_ref,
     dynamic lane index in VMEM can't be proven 128-aligned, and the
     block-shape rule wants the last two dims equal to the array's);
     ``ir_ref``/``ii_ref``: ``[C, T]`` inner ramp planes. Output
-    ``[C, 2, T]`` channel planes.
+    ``[2C, T]`` channel planes, rows c-major interleaved (2c = re,
+    2c+1 = im) so the caller's ``[C, 2, n_out]`` view is a free
+    reshape — a ``(C, 2, T)`` block would pad its 2-sublane middle dim
+    4x and amplify the write DMA.
 
     Each input element is read from HBM ONCE for ALL channels — vs the
     factored-mixer XLA path whose [C, 2, L] mixed intermediate and
@@ -423,8 +426,8 @@ def _fused_chan_kernel(x_ref, halo_ref, g2_ref, or_ref, oi_ref, ir_ref,
         ri = o_re * ii + o_im * ir
         s_re = s[c : c + 1, :]
         s_im = s[C + c : C + c + 1, :]
-        out_ref[c, 0:1, :] = rr * s_re - ri * s_im
-        out_ref[c, 1:2, :] = ri * s_re + rr * s_im
+        out_ref[2 * c : 2 * c + 1, :] = rr * s_re - ri * s_im
+        out_ref[2 * c + 1 : 2 * c + 2, :] = ri * s_re + rr * s_im
 
 
 @functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
@@ -455,12 +458,13 @@ def _fused_chan_call(xp, g2, o_re, o_im, i_re, i_im, D: int,
             pl.BlockSpec((C, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, T), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((C, 2, T), lambda i: (0, 0, i),
+        out_specs=pl.BlockSpec((twoC, T), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((C, 2, nb * T), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((twoC, nb * T), jnp.float32),
         interpret=interpret,
     )
-    return kernel(xp, xp, g2, o_re, o_im, i_re, i_im)
+    out = kernel(xp, xp, g2, o_re, o_im, i_re, i_im)
+    return out.reshape(C, 2, nb * T)
 
 
 def fused_channelize_geometry_ok(decimation: int, n_taps: int,
