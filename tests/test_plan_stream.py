@@ -79,7 +79,7 @@ def test_fused_channelizer_matches_factored():
 
     rng = np.random.default_rng(3)
     for D, ntaps, C, L in [(4, 19, 3, 4429), (8, 77, 5, 33000),
-                           (2, 9, 1, 2100)]:
+                           (2, 9, 1, 2100), (32, 309, 2, 45000)]:
         taps = rng.normal(0, 1, ntaps).astype(np.float32)
         offs = np.linspace(-300e3, 300e3, C)
         rate = 2e6
